@@ -1,0 +1,117 @@
+"""Euler-angle (ZXY) rotation math for 9-DoF boxes, in pure JAX.
+
+Semantics mirror the reference stack (pytorch3d ``euler_angles_to_matrix`` /
+``matrix_to_euler_angles`` with the 'ZXY' convention and
+``rotation_3d_in_euler`` / ``rotation_3d_in_axis`` at
+reference ``embodiedscan/structures/bbox_3d/utils.py:33,90``), rebuilt
+closed-form for XLA: everything is branch-free, batched, and differentiable.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.precision import f32_matmuls
+
+
+def _rx(t):
+    c, s = jnp.cos(t), jnp.sin(t)
+    o, z = jnp.ones_like(t), jnp.zeros_like(t)
+    return jnp.stack(
+        [jnp.stack([o, z, z], -1),
+         jnp.stack([z, c, -s], -1),
+         jnp.stack([z, s, c], -1)], -2)
+
+
+def _ry(t):
+    c, s = jnp.cos(t), jnp.sin(t)
+    o, z = jnp.ones_like(t), jnp.zeros_like(t)
+    return jnp.stack(
+        [jnp.stack([c, z, s], -1),
+         jnp.stack([z, o, z], -1),
+         jnp.stack([-s, z, c], -1)], -2)
+
+
+def _rz(t):
+    c, s = jnp.cos(t), jnp.sin(t)
+    o, z = jnp.ones_like(t), jnp.zeros_like(t)
+    return jnp.stack(
+        [jnp.stack([c, -s, z], -1),
+         jnp.stack([s, c, z], -1),
+         jnp.stack([z, z, o], -1)], -2)
+
+
+@f32_matmuls
+def euler_zxy_to_matrix(angles: jax.Array) -> jax.Array:
+    """(..., 3) ZXY euler angles (alpha_z, beta_x, gamma_y) -> (..., 3, 3).
+
+    R = Rz(alpha) @ Rx(beta) @ Ry(gamma), matching pytorch3d's
+    ``euler_angles_to_matrix(angles, 'ZXY')`` used throughout the reference.
+    """
+    a, b, g = angles[..., 0], angles[..., 1], angles[..., 2]
+    return _rz(a) @ _rx(b) @ _ry(g)
+
+
+def matrix_to_euler_zxy(mat: jax.Array) -> jax.Array:
+    """(..., 3, 3) rotation matrix -> (..., 3) ZXY euler angles.
+
+    Closed-form inverse of :func:`euler_zxy_to_matrix`; matches pytorch3d
+    ``matrix_to_euler_angles(matrix, 'ZXY')``:
+      alpha_z = atan2(-M01, M11); beta_x = asin(M21); gamma_y = atan2(-M20, M22).
+    """
+    beta = jnp.arcsin(jnp.clip(mat[..., 2, 1], -1.0, 1.0))
+    alpha = jnp.arctan2(-mat[..., 0, 1], mat[..., 1, 1])
+    gamma = jnp.arctan2(-mat[..., 2, 0], mat[..., 2, 2])
+    return jnp.stack([alpha, beta, gamma], -1)
+
+
+@f32_matmuls
+def rotation_3d_in_euler(points: jax.Array, angles: jax.Array) -> jax.Array:
+    """Rotate point sets by per-row ZXY euler angles.
+
+    Args:
+        points: (N, M, 3) (or (M, 3), applied with a single angle row).
+        angles: (N, 3) euler angles.
+
+    Returns:
+        (N, M, 3) rotated points: ``points @ R^T`` with R from
+        :func:`euler_zxy_to_matrix` (reference
+        ``structures/bbox_3d/utils.py:33-88``).
+    """
+    rot = euler_zxy_to_matrix(angles)  # (N, 3, 3)
+    return jnp.einsum('...mj,...kj->...mk', points, rot)
+
+
+def rotation_3d_in_axis(points: jax.Array, angles: jax.Array, axis: int = 2) -> jax.Array:
+    """Rotate (N, M, 3) points by per-row single-axis angles (N,)."""
+    zeros = jnp.zeros_like(angles)
+    if axis in (0, -3):
+        euler = jnp.stack([zeros, angles, zeros], -1)  # X is the beta slot
+    elif axis in (1, -2):
+        euler = jnp.stack([zeros, zeros, angles], -1)  # Y is the gamma slot
+    elif axis in (2, -1):
+        euler = jnp.stack([angles, zeros, zeros], -1)  # Z is the alpha slot
+    else:
+        raise ValueError(f'axis must be in [-3, 2], got {axis}')
+    return rotation_3d_in_euler(points, euler)
+
+
+def ortho_6d_to_matrix(x_raw: jax.Array, y_raw: jax.Array) -> jax.Array:
+    """6D rotation representation -> (..., 3, 3) rotation matrix.
+
+    Gram-Schmidt construction matching the reference head
+    (``models/dense_heads/fcaf3d_head.py:1725-1751`` ``ortho_6d_2_Mat``):
+    y = norm(y_raw); z = norm(x_raw x y); x = y x z; columns are (x, y, z).
+    """
+
+    def _norm(v):
+        return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-8)
+
+    y = _norm(y_raw)
+    z = _norm(jnp.cross(x_raw, y))
+    x = jnp.cross(y, z)
+    return jnp.stack([x, y, z], axis=-1)  # columns
+
+
+def limit_period(val: jax.Array, offset: float = 0.5, period: float = jnp.pi) -> jax.Array:
+    """Limit periodic values into [-offset*period, (1-offset)*period)."""
+    return val - jnp.floor(val / period + offset) * period
