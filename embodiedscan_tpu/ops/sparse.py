@@ -1,0 +1,309 @@
+"""Fixed-capacity sparse voxel engine (TPU-native MinkowskiEngine equivalent).
+
+The reference leans on MinkowskiEngine (C++/CUDA) for sparse 3D convolution
+(``mink_resnet.py:58-69``, ``fcaf3d_head.py:104-170``, SURVEY.md §2b). This
+module rebuilds those semantics TPU-first:
+
+- A level is ``SparseTensor(coords, feats, mask)`` with a *static* capacity:
+  coords are int32 lattice points in units of the level's stride, masked rows
+  are padding. Everything jits, vmaps over the batch, and shards over a mesh.
+- Convolutions are "gather + matmul": a sorted-hash neighbor table (built once
+  per level per forward, see ``hashing.py``) turns each kernel offset into one
+  feature gather plus one (N, Cin) x (Cin, Cout) MXU matmul.
+- Pooling/striding reuse the dedup inverse mapping (segment ops, no hashing).
+- The generative transposed conv (kernel 2, stride 2) emits exactly the 8
+  children of each parent: a single (N, Cin) x (Cin, 8*Cout) matmul.
+
+All functions are per-sample and parameter-free; norm layers and weights live
+in the flax model layer.
+"""
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hashing import build_hash, lookup, unique_coords
+
+# Kernel offset tables. Order is fixed (x-major) and is part of this
+# framework's weight layout contract.
+OFFSETS_3 = np.array(
+    [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+     for dz in (-1, 0, 1)], dtype=np.int32)  # (27, 3)
+OFFSETS_2 = np.array(
+    [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+    dtype=np.int32)  # (8, 3)
+OFFSETS_1 = np.zeros((1, 3), dtype=np.int32)
+
+
+class SparseTensor(NamedTuple):
+    """One sparse level for one sample.
+
+    Attributes:
+        coords: (N, 3) int32 lattice coordinates (units of the level stride).
+        feats: (N, C) features; rows with ``mask == False`` are padding and
+            must be treated as zero.
+        mask: (N,) bool validity.
+    """
+    coords: jax.Array
+    feats: jax.Array
+    mask: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.coords.shape[0]
+
+
+def from_points(points_xyz: jax.Array, feats: jax.Array, mask: jax.Array,
+                voxel_size: float, capacity: int) -> SparseTensor:
+    """Voxelize points into a stride-1 sparse tensor.
+
+    Matches ``ME.utils.batch_sparse_collate([(p[:, :3] / voxel_size, f)])``
+    + SparseTensor quantization (sparse_featfusion_single_stage.py:110-118):
+    coordinates are floor(p / voxel_size); duplicate voxels keep the first
+    point's features (deterministic stand-in for ME's RANDOM_SUBSAMPLE).
+    """
+    coords = jnp.floor(points_xyz / voxel_size).astype(jnp.int32)
+    uniq = unique_coords(coords, mask, capacity)
+    # representative = first occurrence: scatter with "first wins" via min-index
+    n = coords.shape[0]
+    slot = jnp.where(uniq.inverse >= 0, uniq.inverse, capacity)
+    first_idx = jnp.full((capacity + 1,), n, jnp.int32).at[slot].min(
+        jnp.arange(n, dtype=jnp.int32))[:capacity]
+    take = jnp.clip(first_idx, 0, n - 1)
+    out_feats = jnp.where(uniq.mask[:, None], feats[take], 0)
+    return SparseTensor(uniq.coords, out_feats, uniq.mask)
+
+
+def neighbor_table(st: SparseTensor, offsets: np.ndarray) -> jax.Array:
+    """(N, K) neighbor indices for submanifold kernels (-1 where absent)."""
+    table = build_hash(st.coords, st.mask)
+    k = offsets.shape[0]
+    queries = (st.coords[:, None, :] + jnp.asarray(offsets)[None, :, :])
+    flat = queries.reshape(-1, 3)
+    qmask = jnp.repeat(st.mask, k)
+    idx = lookup(table, flat, qmask)
+    return idx.reshape(st.capacity, k)
+
+
+def gather_matmul_conv(feats: jax.Array, mask: jax.Array, nbr: jax.Array,
+                       weights: jax.Array, bias: jax.Array | None = None
+                       ) -> jax.Array:
+    """Sparse convolution core: sum_k gather(feats, nbr[:, k]) @ W[k].
+
+    Args:
+        feats: (N, Cin) input features.
+        mask: (N,) input validity.
+        nbr: (M, K) gather indices into feats (-1 = absent neighbor).
+        weights: (K, Cin, Cout).
+        bias: optional (Cout,).
+
+    Returns:
+        (M, Cout) output features (caller masks with the output mask).
+    """
+    n, cin = feats.shape
+    k = weights.shape[0]
+    safe_feats = jnp.where(mask[:, None], feats, 0)
+    padded = jnp.concatenate([safe_feats, jnp.zeros((1, cin), feats.dtype)])
+    idx = jnp.where(nbr >= 0, nbr, n)  # absent -> zero row
+    # (M, K, Cin) x (K, Cin, Cout) -> (M, Cout); contracted in one einsum so
+    # XLA can tile the (M, K*Cin) x (K*Cin, Cout) matmul onto the MXU.
+    gathered = padded[idx]  # (M, K, Cin)
+    out = jax.lax.dot_general(
+        gathered.reshape(gathered.shape[0], k * cin),
+        weights.reshape(k * cin, -1),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def subm_conv(st: SparseTensor, weights: jax.Array,
+              bias: jax.Array | None = None,
+              nbr: jax.Array | None = None) -> SparseTensor:
+    """Submanifold conv (kernel 3, stride 1): coords unchanged.
+
+    ``nbr`` may be precomputed (and shared across convs on the same level).
+    """
+    if nbr is None:
+        nbr = neighbor_table(st, OFFSETS_3)
+    out = gather_matmul_conv(st.feats, st.mask, nbr, weights, bias)
+    out = jnp.where(st.mask[:, None], out, 0)
+    return SparseTensor(st.coords, out.astype(st.feats.dtype), st.mask)
+
+
+class DownsampleMap(NamedTuple):
+    """Coordinate bookkeeping for a stride-2 reduction.
+
+    Attributes:
+        coords: (M, 3) coarse coordinates (units of the coarse stride).
+        mask: (M,) coarse validity.
+        inverse: (N,) fine row -> coarse slot (-1 for padding/overflow).
+    """
+    coords: jax.Array
+    mask: jax.Array
+    inverse: jax.Array
+
+
+def downsample_coords(st: SparseTensor, capacity: int) -> DownsampleMap:
+    """Coarse coordinates = unique(floor(fine / 2)) (ME stride-2 striding)."""
+    coarse = jnp.floor_divide(st.coords, 2)
+    uniq = unique_coords(coarse, st.mask, capacity)
+    return DownsampleMap(uniq.coords, uniq.mask, uniq.inverse)
+
+
+def strided_conv(st: SparseTensor, dmap: DownsampleMap, weights: jax.Array,
+                 bias: jax.Array | None = None) -> SparseTensor:
+    """Conv kernel 3, stride 2 (ME semantics, mink_resnet.py:58-62,104-110).
+
+    Output coords live on the coarse lattice; each output gathers fine voxels
+    at ``2*o + k`` for k in the centered 3x3x3 region.
+    """
+    table = build_hash(st.coords, st.mask)
+    kofs = jnp.asarray(OFFSETS_3)
+    queries = dmap.coords[:, None, :] * 2 + kofs[None, :, :]
+    flat = queries.reshape(-1, 3)
+    qmask = jnp.repeat(dmap.mask, kofs.shape[0])
+    nbr = lookup(table, flat, qmask).reshape(dmap.coords.shape[0], -1)
+    out = gather_matmul_conv(st.feats, st.mask, nbr, weights, bias)
+    out = jnp.where(dmap.mask[:, None], out, 0)
+    return SparseTensor(dmap.coords, out.astype(st.feats.dtype), dmap.mask)
+
+
+def conv1x1_strided(st: SparseTensor, dmap: DownsampleMap, weights: jax.Array,
+                    bias: jax.Array | None = None) -> SparseTensor:
+    """Kernel-1 stride-2 conv (ResNet downsample branch): gather at 2*o."""
+    table = build_hash(st.coords, st.mask)
+    queries = dmap.coords * 2
+    nbr = lookup(table, queries, dmap.mask)[:, None]
+    out = gather_matmul_conv(st.feats, st.mask, nbr, weights[None] if
+                             weights.ndim == 2 else weights, bias)
+    out = jnp.where(dmap.mask[:, None], out, 0)
+    return SparseTensor(dmap.coords, out.astype(st.feats.dtype), dmap.mask)
+
+
+def maxpool2(st: SparseTensor, dmap: DownsampleMap) -> SparseTensor:
+    """Max pool kernel 2 stride 2: segment-max of children via the inverse map."""
+    m = dmap.coords.shape[0]
+    slot = jnp.where((dmap.inverse >= 0) & st.mask, dmap.inverse, m)
+    neg = jnp.finfo(st.feats.dtype).min
+    init = jnp.full((m + 1, st.feats.shape[1]), neg, st.feats.dtype)
+    pooled = init.at[slot].max(jnp.where(st.mask[:, None], st.feats, neg))
+    pooled = pooled[:m]
+    pooled = jnp.where(dmap.mask[:, None], pooled, 0)
+    pooled = jnp.where(pooled == neg, 0, pooled)
+    return SparseTensor(dmap.coords, pooled, dmap.mask)
+
+
+def generative_transpose2(st: SparseTensor, weights: jax.Array,
+                          bias: jax.Array | None = None
+                          ) -> Tuple[SparseTensor, jax.Array]:
+    """Generative transposed conv kernel 2 stride 2 (fcaf3d_head.py:115-135).
+
+    Every parent emits its 8 children ``2*c + off``; children of distinct
+    parents are distinct, so no dedup is needed. Output capacity is 8x the
+    input capacity; slot of child ``(p, off)`` is ``p * 8 + code(off)``.
+
+    Args:
+        weights: (8, Cin, Cout), one matrix per child offset.
+
+    Returns:
+        (child SparseTensor, parent_index (8N,) mapping child slot -> parent).
+    """
+    n, cin = st.feats.shape
+    cout = weights.shape[-1]
+    safe = jnp.where(st.mask[:, None], st.feats, 0)
+    # (N, Cin) @ (Cin, 8*Cout): one MXU matmul for all children
+    big = jax.lax.dot_general(
+        safe, jnp.transpose(weights, (1, 0, 2)).reshape(cin, 8 * cout),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    child_feats = big.reshape(n, 8, cout).reshape(n * 8, cout)
+    offs = jnp.asarray(OFFSETS_2)  # (8, 3)
+    child_coords = (st.coords[:, None, :] * 2 + offs[None, :, :]).reshape(-1, 3)
+    child_mask = jnp.repeat(st.mask, 8)
+    if bias is not None:
+        child_feats = child_feats + bias
+    child_feats = jnp.where(child_mask[:, None], child_feats, 0)
+    parent_index = jnp.repeat(jnp.arange(n, dtype=jnp.int32), 8)
+    return (SparseTensor(child_coords, child_feats.astype(st.feats.dtype),
+                         child_mask), parent_index)
+
+
+def scatter_sum_into(dst: SparseTensor, src: SparseTensor) -> SparseTensor:
+    """Add ``src`` features into ``dst`` rows with matching coordinates.
+
+    Used by the FPN lateral sum (``x = inputs[i] + up_block(x)``,
+    fcaf3d_head.py:1010-1013). Source voxels with no matching destination
+    coordinate are dropped (in the FPN they cannot occur: backbone coords are
+    always children of the coarser level's coords).
+    """
+    table = build_hash(dst.coords, dst.mask)
+    idx = lookup(table, src.coords, src.mask)
+    slot = jnp.where(idx >= 0, idx, dst.capacity)
+    add = jnp.where((idx >= 0)[:, None] & src.mask[:, None], src.feats, 0)
+    feats = jnp.concatenate(
+        [dst.feats, jnp.zeros((1, dst.feats.shape[1]), dst.feats.dtype)])
+    feats = feats.at[slot].add(add)[:dst.capacity]
+    return SparseTensor(dst.coords, feats, dst.mask)
+
+
+def topk_select(st: SparseTensor, scores: jax.Array,
+                k: int) -> SparseTensor:
+    """Keep the top-k voxels by score (masked rows score -inf).
+
+    Static-shape analog of ``FCAF3DHead._prune`` (fcaf3d_head.py:277-299):
+    the reference keeps ``min(len, pts_prune_threshold)`` voxels per sample;
+    here k is the static output capacity.
+    """
+    neg = jnp.finfo(scores.dtype).min
+    masked = jnp.where(st.mask, scores, neg)
+    _, idx = jax.lax.top_k(masked, k)
+    keep_mask = st.mask[idx]
+    return SparseTensor(st.coords[idx],
+                        jnp.where(keep_mask[:, None], st.feats[idx], 0),
+                        keep_mask)
+
+
+def to_dense(st: SparseTensor, origin: jax.Array,
+             grid_shape: Tuple[int, int, int]) -> jax.Array:
+    """Scatter a sparse tensor into a dense (X, Y, Z, C) volume.
+
+    Equivalent of ME ``.dense()`` (embodied_occ.py:233-243). ``origin`` is the
+    lattice coordinate of voxel (0, 0, 0) in the dense grid.
+    """
+    gx, gy, gz = grid_shape
+    rel = st.coords - origin
+    inb = st.mask & jnp.all((rel >= 0), axis=-1) & (rel[:, 0] < gx) \
+        & (rel[:, 1] < gy) & (rel[:, 2] < gz)
+    flat_idx = (rel[:, 0] * gy + rel[:, 1]) * gz + rel[:, 2]
+    flat_idx = jnp.where(inb, flat_idx, gx * gy * gz)
+    c = st.feats.shape[1]
+    vol = jnp.zeros((gx * gy * gz + 1, c), st.feats.dtype)
+    vol = vol.at[flat_idx].add(jnp.where(inb[:, None], st.feats, 0))
+    return vol[:-1].reshape(gx, gy, gz, c)
+
+
+def interpolate_trilinear(st: SparseTensor, query_xyz: jax.Array,
+                          query_mask: jax.Array) -> jax.Array:
+    """Trilinear interpolation of sparse features at float lattice coords.
+
+    Equivalent of ME ``features_at_coordinates`` used by FPN pruning
+    (fcaf3d_head.py:287-292). Absent neighbors contribute zero.
+    """
+    table = build_hash(st.coords, st.mask)
+    base = jnp.floor(query_xyz).astype(jnp.int32)
+    frac = query_xyz - base
+    out = jnp.zeros((query_xyz.shape[0], st.feats.shape[1]), st.feats.dtype)
+    n = st.capacity
+    safe = jnp.where(st.mask[:, None], st.feats, 0)
+    padded = jnp.concatenate([safe, jnp.zeros((1, st.feats.shape[1]),
+                                              st.feats.dtype)])
+    for off in OFFSETS_2:
+        offj = jnp.asarray(off)
+        idx = lookup(table, base + offj, query_mask)
+        w = jnp.prod(jnp.where(offj == 1, frac, 1 - frac), axis=-1)
+        out = out + padded[jnp.where(idx >= 0, idx, n)] * w[:, None]
+    return jnp.where(query_mask[:, None], out, 0)

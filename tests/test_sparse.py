@@ -1,0 +1,219 @@
+"""Sparse voxel engine tests against dense numpy oracles."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from embodiedscan_tpu.ops import hashing as H
+from embodiedscan_tpu.ops import sparse as S
+
+
+def make_random_sparse(rng, n_occ, extent, c, capacity):
+    """Random occupied voxel set (unique coords) + features."""
+    coords = rng.randint(-extent, extent, size=(n_occ * 2, 3)).astype(np.int32)
+    coords = np.unique(coords, axis=0)[:n_occ]
+    n = coords.shape[0]
+    feats = rng.randn(n, c).astype(np.float32)
+    pad = capacity - n
+    coords_p = np.concatenate([coords, np.zeros((pad, 3), np.int32)])
+    feats_p = np.concatenate([feats, np.zeros((pad, c), np.float32)])
+    mask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    st = S.SparseTensor(jnp.asarray(coords_p), jnp.asarray(feats_p),
+                        jnp.asarray(mask))
+    return st, coords, feats
+
+
+class TestHashing:
+
+    def test_unique_and_lookup(self):
+        rng = np.random.RandomState(0)
+        coords = rng.randint(-10, 10, size=(64, 3)).astype(np.int32)
+        mask = np.ones(64, bool)
+        mask[50:] = False
+        uniq = H.unique_coords(jnp.asarray(coords), jnp.asarray(mask), 128)
+        want = np.unique(coords[:50], axis=0)
+        got_mask = np.asarray(uniq.mask)
+        got = np.asarray(uniq.coords)[got_mask]
+        assert int(uniq.count) == len(want)
+        np.testing.assert_array_equal(
+            got[np.lexsort(got.T[::-1])], want[np.lexsort(want.T[::-1])])
+        # inverse maps every valid row to a slot holding its coord
+        inv = np.asarray(uniq.inverse)
+        for i in range(50):
+            np.testing.assert_array_equal(np.asarray(uniq.coords)[inv[i]],
+                                          coords[i])
+        assert (inv[50:] == -1).all()
+
+    def test_lookup_hit_and_miss(self):
+        coords = jnp.asarray([[0, 0, 0], [1, 2, 3], [-5, 4, 2]], jnp.int32)
+        mask = jnp.ones(3, bool)
+        table = H.build_hash(coords, mask)
+        q = jnp.asarray([[1, 2, 3], [9, 9, 9], [0, 0, 0]], jnp.int32)
+        idx = np.asarray(H.lookup(table, q))
+        assert idx[0] == 1 and idx[1] == -1 and idx[2] == 0
+
+    def test_capacity_overflow_drops(self):
+        coords = np.arange(30).reshape(10, 3).astype(np.int32)
+        uniq = H.unique_coords(jnp.asarray(coords), jnp.ones(10, bool), 4)
+        assert int(np.asarray(uniq.mask).sum()) == 4
+        inv = np.asarray(uniq.inverse)
+        assert (inv >= -1).all() and (inv < 4).all()
+
+
+class TestVoxelize:
+
+    def test_from_points_first_occurrence(self):
+        pts = jnp.asarray([[0.05, 0.05, 0.05], [0.01, 0.02, 0.03],
+                           [0.15, 0.05, 0.05]])
+        feats = jnp.asarray([[1.0], [2.0], [3.0]])
+        st = S.from_points(pts, feats, jnp.ones(3, bool), 0.1, 8)
+        m = np.asarray(st.mask)
+        assert m.sum() == 2
+        coords = np.asarray(st.coords)[m]
+        f = np.asarray(st.feats)[m]
+        row0 = np.where((coords == [0, 0, 0]).all(1))[0][0]
+        row1 = np.where((coords == [1, 0, 0]).all(1))[0][0]
+        assert f[row0, 0] == 1.0  # first point in the voxel wins
+        assert f[row1, 0] == 3.0
+
+
+def dense_from_sparse(coords, feats, extent, c):
+    side = 2 * extent + 1
+    vol = np.zeros((side, side, side, c), np.float32)
+    for cc, ff in zip(coords, feats):
+        vol[tuple(cc + extent)] = ff
+    return vol
+
+
+class TestConv:
+
+    def test_subm_conv_matches_dense(self):
+        rng = np.random.RandomState(1)
+        extent, cin, cout, cap = 5, 4, 6, 128
+        st, coords, feats = make_random_sparse(rng, 40, extent, cin, cap)
+        w = rng.randn(27, cin, cout).astype(np.float32) * 0.1
+        out = S.subm_conv(st, jnp.asarray(w))
+        vol = dense_from_sparse(coords, feats, extent + 1, cin)
+        got = np.asarray(out.feats)
+        m = np.asarray(out.mask)
+        for i in range(len(coords)):
+            acc = np.zeros(cout, np.float32)
+            for k, off in enumerate(S.OFFSETS_3):
+                q = coords[i] + off + extent + 1
+                acc += vol[tuple(q)] @ w[k]
+            np.testing.assert_allclose(got[i], acc, atol=1e-4)
+        assert (got[~m] == 0).all()
+
+    def test_strided_conv_matches_dense(self):
+        rng = np.random.RandomState(2)
+        extent, cin, cout, cap = 5, 3, 5, 128
+        st, coords, feats = make_random_sparse(rng, 40, extent, cin, cap)
+        dmap = S.downsample_coords(st, 64)
+        w = rng.randn(27, cin, cout).astype(np.float32) * 0.1
+        out = S.strided_conv(st, dmap, jnp.asarray(w))
+        vol = dense_from_sparse(coords, feats, 2 * extent + 2, cin)
+        want_coords = np.unique(coords // 2, axis=0)
+        m = np.asarray(out.mask)
+        got_coords = np.asarray(out.coords)[m]
+        assert sorted(map(tuple, got_coords)) == sorted(map(tuple, want_coords))
+        got = np.asarray(out.feats)
+        for j in np.where(m)[0]:
+            o = np.asarray(out.coords)[j]
+            acc = np.zeros(cout, np.float32)
+            for k, off in enumerate(S.OFFSETS_3):
+                q = 2 * o + off + 2 * extent + 2
+                acc += vol[tuple(q)] @ w[k]
+            np.testing.assert_allclose(got[j], acc, atol=1e-4)
+
+    def test_maxpool_matches_oracle(self):
+        rng = np.random.RandomState(3)
+        extent, c, cap = 4, 3, 64
+        st, coords, feats = make_random_sparse(rng, 30, extent, c, cap)
+        dmap = S.downsample_coords(st, 32)
+        out = S.maxpool2(st, dmap)
+        m = np.asarray(out.mask)
+        got = np.asarray(out.feats)
+        oc = np.asarray(out.coords)
+        for j in np.where(m)[0]:
+            members = [feats[i] for i in range(len(coords))
+                       if (coords[i] // 2 == oc[j]).all()]
+            want = np.max(np.stack(members), axis=0)
+            np.testing.assert_allclose(got[j], want, atol=1e-5)
+
+    def test_generative_transpose(self):
+        rng = np.random.RandomState(4)
+        cin, cout = 3, 4
+        coords = np.array([[0, 0, 0], [2, -1, 1]], np.int32)
+        feats = rng.randn(2, cin).astype(np.float32)
+        st = S.SparseTensor(
+            jnp.asarray(np.concatenate([coords, np.zeros((2, 3), np.int32)])),
+            jnp.asarray(np.concatenate([feats, np.zeros((2, cin),
+                                                        np.float32)])),
+            jnp.asarray([True, True, False, False]))
+        w = rng.randn(8, cin, cout).astype(np.float32)
+        out, parent = S.generative_transpose2(st, jnp.asarray(w))
+        m = np.asarray(out.mask)
+        assert m.sum() == 16
+        got = np.asarray(out.feats)
+        oc = np.asarray(out.coords)
+        for j in np.where(m)[0]:
+            p = np.asarray(parent)[j]
+            off = oc[j] - 2 * coords[p]
+            k = np.where((S.OFFSETS_2 == off).all(1))[0][0]
+            np.testing.assert_allclose(got[j], feats[p] @ w[k], atol=1e-4)
+
+    def test_scatter_sum_into(self):
+        coords = jnp.asarray([[0, 0, 0], [1, 0, 0], [0, 0, 0]], jnp.int32)
+        dst = S.SparseTensor(coords[:2], jnp.asarray([[1.0], [2.0]]),
+                             jnp.ones(2, bool))
+        src = S.SparseTensor(
+            jnp.asarray([[1, 0, 0], [5, 5, 5]], jnp.int32),
+            jnp.asarray([[10.0], [100.0]]), jnp.ones(2, bool))
+        out = S.scatter_sum_into(dst, src)
+        np.testing.assert_allclose(np.asarray(out.feats), [[1.0], [12.0]])
+
+    def test_topk_select(self):
+        st = S.SparseTensor(
+            jnp.asarray([[0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0]],
+                        jnp.int32),
+            jnp.asarray([[1.0], [2.0], [3.0], [4.0]]),
+            jnp.asarray([True, True, True, False]))
+        scores = jnp.asarray([0.5, 0.9, 0.1, 99.0])
+        out = S.topk_select(st, scores, 2)
+        got = np.asarray(out.coords)
+        np.testing.assert_array_equal(got, [[1, 0, 0], [0, 0, 0]])
+        assert np.asarray(out.mask).all()
+
+    def test_to_dense(self):
+        st = S.SparseTensor(
+            jnp.asarray([[0, 0, 0], [1, 2, 3]], jnp.int32),
+            jnp.asarray([[1.0], [2.0]]), jnp.ones(2, bool))
+        vol = S.to_dense(st, jnp.asarray([0, 0, 0]), (2, 3, 4))
+        assert vol.shape == (2, 3, 4, 1)
+        assert vol[0, 0, 0, 0] == 1.0 and vol[1, 2, 3, 0] == 2.0
+        assert float(jnp.sum(vol)) == 3.0
+
+    def test_interpolate_trilinear(self):
+        # features f(x) = x over a line of voxels -> interpolation is linear
+        coords = jnp.asarray([[i, 0, 0] for i in range(4)], jnp.int32)
+        feats = jnp.asarray([[float(i)] for i in range(4)])
+        st = S.SparseTensor(coords, feats, jnp.ones(4, bool))
+        q = jnp.asarray([[1.5, 0.0, 0.0], [2.25, 0.0, 0.0]])
+        out = np.asarray(
+            S.interpolate_trilinear(st, q, jnp.ones(2, bool)))
+        np.testing.assert_allclose(out[:, 0], [1.5, 2.25], atol=1e-5)
+
+    def test_conv1x1_strided(self):
+        rng = np.random.RandomState(5)
+        st, coords, feats = make_random_sparse(rng, 20, 4, 3, 64)
+        dmap = S.downsample_coords(st, 32)
+        w = rng.randn(1, 3, 2).astype(np.float32)
+        out = S.conv1x1_strided(st, dmap, jnp.asarray(w))
+        m = np.asarray(out.mask)
+        oc = np.asarray(out.coords)
+        got = np.asarray(out.feats)
+        lut = {tuple(c): f for c, f in zip(coords, feats)}
+        for j in np.where(m)[0]:
+            src = lut.get(tuple(2 * oc[j]), np.zeros(3, np.float32))
+            np.testing.assert_allclose(got[j], src @ w[0], atol=1e-5)
