@@ -58,7 +58,9 @@ def matrix_to_euler_zxy(mat: jax.Array) -> jax.Array:
     ``matrix_to_euler_angles(matrix, 'ZXY')``:
       alpha_z = atan2(-M01, M11); beta_x = asin(M21); gamma_y = atan2(-M20, M22).
     """
-    beta = jnp.arcsin(jnp.clip(mat[..., 2, 1], -1.0, 1.0))
+    # clip strictly inside (-1, 1): arcsin has an infinite gradient
+    # at the boundary and padded rows would poison masked sums
+    beta = jnp.arcsin(jnp.clip(mat[..., 2, 1], -1.0 + 1e-6, 1.0 - 1e-6))
     alpha = jnp.arctan2(-mat[..., 0, 1], mat[..., 1, 1])
     gamma = jnp.arctan2(-mat[..., 2, 0], mat[..., 2, 2])
     return jnp.stack([alpha, beta, gamma], -1)
@@ -104,7 +106,9 @@ def ortho_6d_to_matrix(x_raw: jax.Array, y_raw: jax.Array) -> jax.Array:
     """
 
     def _norm(v):
-        return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-8)
+        # sqrt(sum + eps) instead of norm + eps: same forward value to ~1e-8
+        # but with a finite gradient at v = 0 (padded regression rows)
+        return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-12)
 
     y = _norm(y_raw)
     z = _norm(jnp.cross(x_raw, y))

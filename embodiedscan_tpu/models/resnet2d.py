@@ -1,0 +1,105 @@
+"""2D image backbone: mmdet-style ResNet in flax (NHWC, bf16-friendly).
+
+Mirrors the reference's image branch (``mmdet.ResNet`` with depth=50,
+base_channels=16, 'pytorch' style, frozen BN —
+configs/detection/mv-det3d...py:24-34): 7x7 stem + 4 Bottleneck stages with
+out_indices (0, 1, 2, 3), feature strides (4, 8, 16, 32). BatchNorm is frozen
+(norm_eval=True in the reference), so it is a fixed affine transform here;
+stage freezing is applied by the optimizer mask at the train-loop level.
+"""
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .norm import FrozenBatchNorm
+
+
+class Bottleneck(nn.Module):
+    """ResNet Bottleneck ('pytorch' style: stride on the 3x3 conv)."""
+
+    planes: int
+    stride: int = 1
+    expansion: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        out = FrozenBatchNorm()(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=1, use_bias=False, dtype=self.dtype)(out)
+        out = FrozenBatchNorm()(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                      dtype=self.dtype)(out)
+        out = FrozenBatchNorm()(out)
+        if self.stride != 1 or identity.shape[-1] != out.shape[-1]:
+            identity = nn.Conv(self.planes * self.expansion, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype)(identity)
+            identity = FrozenBatchNorm()(identity)
+        return nn.relu(out + identity)
+
+
+class BasicBlock2d(nn.Module):
+    """ResNet BasicBlock for depth 18/34."""
+
+    planes: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=1, use_bias=False, dtype=self.dtype)(x)
+        out = FrozenBatchNorm()(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                      dtype=self.dtype)(out)
+        out = FrozenBatchNorm()(out)
+        if self.stride != 1 or identity.shape[-1] != out.shape[-1]:
+            identity = nn.Conv(self.planes, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype)(identity)
+            identity = FrozenBatchNorm()(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """mmdet-style ResNet returning multi-scale NHWC features."""
+
+    depth: int = 50
+    base_channels: int = 16
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    arch = {
+        18: (BasicBlock2d, (2, 2, 2, 2)),
+        34: (BasicBlock2d, (3, 4, 6, 3)),
+        50: (Bottleneck, (3, 4, 6, 3)),
+        101: (Bottleneck, (3, 4, 23, 3)),
+    }
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
+        block, stage_blocks = self.arch[self.depth]
+        x = nn.Conv(self.base_channels, (7, 7), strides=(2, 2), padding=3,
+                    use_bias=False, dtype=self.dtype)(x)
+        x = FrozenBatchNorm()(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        outs = []
+        for i, blocks in enumerate(stage_blocks):
+            planes = self.base_channels * 2**i
+            stride = 1 if i == 0 else 2
+            x = block(planes, stride, dtype=self.dtype)(x)
+            for _ in range(blocks - 1):
+                x = block(planes, 1, dtype=self.dtype)(x)
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)
