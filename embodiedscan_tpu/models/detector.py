@@ -22,11 +22,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import sparse as S
 from .fcaf3d import FCAF3DHead
-from .fusion import point_image_sample
-from .resnet2d import ResNet
-from .sparse_nn import MinkResNet
+from .trunk import STRIDES, SparseFusionTrunk
 
 
 class SparseFusionDetector(nn.Module):
@@ -46,59 +43,26 @@ class SparseFusionDetector(nn.Module):
     img_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(depth=self.resnet_depth, base_channels=16,
-                               dtype=self.img_dtype)
-        self.backbone_3d = MinkResNet(depth=self.mink_depth,
-                                      capacities=tuple(
-                                          self.backbone_capacities))
-        strides = (8, 16, 32, 64)
-        ch3d = (64, 128, 256, 512)
-        expansion = 4 if self.resnet_depth >= 50 else 1
-        ch2d = tuple(16 * 2**i * expansion for i in range(4))
+        self.trunk = SparseFusionTrunk(
+            voxel_size=self.voxel_size,
+            input_capacity=self.input_capacity,
+            backbone_capacities=tuple(self.backbone_capacities),
+            resnet_depth=self.resnet_depth,
+            mink_depth=self.mink_depth,
+            img_dtype=self.img_dtype)
         self.bbox_head = FCAF3DHead(
             num_classes=self.num_classes,
-            in_channels=tuple(c3 + c2 for c3, c2 in zip(ch3d, ch2d)),
+            in_channels=self.trunk.out_channels,
             voxel_size=self.voxel_size,
-            strides=strides,
+            strides=STRIDES,
             fpn_capacities=tuple(self.fpn_capacities),
             nms_pre=self.nms_pre,
             max_candidates=self.max_candidates,
             max_dets=self.max_dets)
-        self._strides = strides
-
-    def extract_feat(self, batch: dict, train: bool):
-        pts = batch['points']
-        pmask = batch['points_mask']
-        # voxelize: use_xyz_feat=True -> xyz are also the features
-        # (sparse_featfusion_single_stage.py:110-114)
-        st = jax.vmap(S.from_points, in_axes=(0, 0, 0, None, None))(
-            pts, pts, pmask, self.voxel_size, self.input_capacity)
-        levels = self.backbone_3d(st, train=train)
-
-        imgs = batch['imgs'].astype(self.img_dtype)
-        b, v, h, w, _ = imgs.shape
-        feats2d = self.backbone(imgs.reshape(b * v, h, w, 3))
-        fused = []
-        for i, lvl in enumerate(levels):
-            f2d = feats2d[i]
-            hf, wf, c2 = f2d.shape[1:]
-            f2d = f2d.reshape(b, v, hf, wf, c2).astype(jnp.float32)
-            world = lvl.coords.astype(jnp.float32) * (
-                self._strides[i] * self.voxel_size)
-            img_feat = jax.vmap(point_image_sample,
-                                in_axes=(0, 0, 0, 0, 0, None, None))(
-                                    world, lvl.mask, f2d, batch['proj'],
-                                    batch['aug_inv'], (h, w), 'nearest')
-            fused.append(
-                S.SparseTensor(
-                    lvl.coords,
-                    jnp.concatenate([lvl.feats, img_feat], axis=-1),
-                    lvl.mask))
-        return fused
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = True, mode: str = 'loss'):
-        feats = self.extract_feat(batch, train)
+        feats = self.trunk(batch, train=train)
         outs = self.bbox_head(feats, train=train)
         if mode == 'feats':
             return outs

@@ -56,13 +56,12 @@ def strided_queries(st: S.SparseTensor, dmap: S.DownsampleMap,
                     offsets: np.ndarray) -> jax.Array:
     """Neighbor table for stride-2 convs: input rows at 2*o + k. (B, M, K)."""
 
-    from ..ops.hashing import build_hash, lookup
+    from ..ops.hashing import lookup_merge
 
     def one(coords, mask, ocoords, omask):
-        table = build_hash(coords, mask)
         q = (ocoords[:, None, :] * 2 + jnp.asarray(offsets)[None]).reshape(-1, 3)
         qm = jnp.repeat(omask, offsets.shape[0])
-        return lookup(table, q, qm).reshape(ocoords.shape[0], -1)
+        return lookup_merge(coords, mask, q, qm).reshape(ocoords.shape[0], -1)
 
     return jax.vmap(one)(st.coords, st.mask, dmap.coords, dmap.mask)
 

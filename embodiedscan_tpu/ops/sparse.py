@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .hashing import build_hash, lookup, unique_coords
+from .hashing import lookup_merge, unique_coords
 
 # Kernel offset tables. Order is fixed (x-major) and is part of this
 # framework's weight layout contract.
@@ -39,6 +39,10 @@ OFFSETS_1 = np.zeros((1, 3), dtype=np.int32)
 
 class SparseTensor(NamedTuple):
     """One sparse level for one sample.
+
+    Engine invariant: valid coords are unique and sorted by their packed
+    lexicographic (x, y, z) key — every constructor in this module preserves
+    it, and ``lookup_merge``'s cummax-join relies on it.
 
     Attributes:
         coords: (N, 3) int32 lattice coordinates (units of the level stride).
@@ -77,13 +81,17 @@ def from_points(points_xyz: jax.Array, feats: jax.Array, mask: jax.Array,
 
 
 def neighbor_table(st: SparseTensor, offsets: np.ndarray) -> jax.Array:
-    """(N, K) neighbor indices for submanifold kernels (-1 where absent)."""
-    table = build_hash(st.coords, st.mask)
+    """(N, K) neighbor indices for submanifold kernels (-1 where absent).
+
+    All offsets go through ONE merge-join call: sort calls have a large
+    fixed cost on TPU, so a single 28N-element sort beats 27 searchsorted
+    streams by ~20x (see lookup_merge).
+    """
     k = offsets.shape[0]
     queries = (st.coords[:, None, :] + jnp.asarray(offsets)[None, :, :])
     flat = queries.reshape(-1, 3)
     qmask = jnp.repeat(st.mask, k)
-    idx = lookup(table, flat, qmask)
+    idx = lookup_merge(st.coords, st.mask, flat, qmask)
     return idx.reshape(st.capacity, k)
 
 
@@ -104,17 +112,17 @@ def gather_matmul_conv(feats: jax.Array, mask: jax.Array, nbr: jax.Array,
     """
     n, cin = feats.shape
     k = weights.shape[0]
+    cout = weights.shape[-1]
     safe_feats = jnp.where(mask[:, None], feats, 0)
     padded = jnp.concatenate([safe_feats, jnp.zeros((1, cin), feats.dtype)])
     idx = jnp.where(nbr >= 0, nbr, n)  # absent -> zero row
-    # (M, K, Cin) x (K, Cin, Cout) -> (M, Cout); contracted in one einsum so
-    # XLA can tile the (M, K*Cin) x (K*Cin, Cout) matmul onto the MXU.
-    gathered = padded[idx]  # (M, K, Cin)
-    out = jax.lax.dot_general(
-        gathered.reshape(gathered.shape[0], k * cin),
-        weights.reshape(k * cin, -1),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    # One row-gather + (M, Cin) x (Cin, Cout) MXU matmul per kernel offset.
+    # Measured on TPU v5e: this unrolled form compiles ~100x faster and runs
+    # faster than a single fused (M, K*Cin) x (K*Cin, Cout) contraction.
+    out = jnp.zeros((nbr.shape[0], cout), jnp.float32)
+    for j in range(k):
+        out = out + jnp.dot(padded[idx[:, j]], weights[j],
+                            preferred_element_type=jnp.float32)
     if bias is not None:
         out = out + bias
     return out
@@ -161,12 +169,11 @@ def strided_conv(st: SparseTensor, dmap: DownsampleMap, weights: jax.Array,
     Output coords live on the coarse lattice; each output gathers fine voxels
     at ``2*o + k`` for k in the centered 3x3x3 region.
     """
-    table = build_hash(st.coords, st.mask)
     kofs = jnp.asarray(OFFSETS_3)
-    queries = dmap.coords[:, None, :] * 2 + kofs[None, :, :]
-    flat = queries.reshape(-1, 3)
+    queries = (dmap.coords[:, None, :] * 2 + kofs[None, :, :]).reshape(-1, 3)
     qmask = jnp.repeat(dmap.mask, kofs.shape[0])
-    nbr = lookup(table, flat, qmask).reshape(dmap.coords.shape[0], -1)
+    nbr = lookup_merge(st.coords, st.mask, queries,
+                       qmask).reshape(dmap.coords.shape[0], -1)
     out = gather_matmul_conv(st.feats, st.mask, nbr, weights, bias)
     out = jnp.where(dmap.mask[:, None], out, 0)
     return SparseTensor(dmap.coords, out.astype(st.feats.dtype), dmap.mask)
@@ -175,9 +182,8 @@ def strided_conv(st: SparseTensor, dmap: DownsampleMap, weights: jax.Array,
 def conv1x1_strided(st: SparseTensor, dmap: DownsampleMap, weights: jax.Array,
                     bias: jax.Array | None = None) -> SparseTensor:
     """Kernel-1 stride-2 conv (ResNet downsample branch): gather at 2*o."""
-    table = build_hash(st.coords, st.mask)
     queries = dmap.coords * 2
-    nbr = lookup(table, queries, dmap.mask)[:, None]
+    nbr = lookup_merge(st.coords, st.mask, queries, dmap.mask)[:, None]
     out = gather_matmul_conv(st.feats, st.mask, nbr, weights[None] if
                              weights.ndim == 2 else weights, bias)
     out = jnp.where(dmap.mask[:, None], out, 0)
@@ -240,8 +246,7 @@ def scatter_sum_into(dst: SparseTensor, src: SparseTensor) -> SparseTensor:
     coordinate are dropped (in the FPN they cannot occur: backbone coords are
     always children of the coarser level's coords).
     """
-    table = build_hash(dst.coords, dst.mask)
-    idx = lookup(table, src.coords, src.mask)
+    idx = lookup_merge(dst.coords, dst.mask, src.coords, src.mask)
     slot = jnp.where(idx >= 0, idx, dst.capacity)
     add = jnp.where((idx >= 0)[:, None] & src.mask[:, None], src.feats, 0)
     feats = jnp.concatenate(
@@ -258,9 +263,16 @@ def topk_select(st: SparseTensor, scores: jax.Array,
     the reference keeps ``min(len, pts_prune_threshold)`` voxels per sample;
     here k is the static output capacity.
     """
+    from .hashing import pack_keys
     neg = jnp.finfo(scores.dtype).min
     masked = jnp.where(st.mask, scores, neg)
     _, idx = jax.lax.top_k(masked, k)
+    keep_mask = st.mask[idx]
+    # restore the key-sorted engine invariant (top_k orders by score)
+    k1, k2, _ = pack_keys(st.coords[idx], keep_mask)
+    _, _, perm = jax.lax.sort(
+        (k1, k2, jnp.arange(k, dtype=jnp.int32)), num_keys=2)
+    idx = idx[perm]
     keep_mask = st.mask[idx]
     return SparseTensor(st.coords[idx],
                         jnp.where(keep_mask[:, None], st.feats[idx], 0),
@@ -293,17 +305,19 @@ def interpolate_trilinear(st: SparseTensor, query_xyz: jax.Array,
     Equivalent of ME ``features_at_coordinates`` used by FPN pruning
     (fcaf3d_head.py:287-292). Absent neighbors contribute zero.
     """
-    table = build_hash(st.coords, st.mask)
     base = jnp.floor(query_xyz).astype(jnp.int32)
     frac = query_xyz - base
-    out = jnp.zeros((query_xyz.shape[0], st.feats.shape[1]), st.feats.dtype)
     n = st.capacity
+    nq = query_xyz.shape[0]
     safe = jnp.where(st.mask[:, None], st.feats, 0)
     padded = jnp.concatenate([safe, jnp.zeros((1, st.feats.shape[1]),
                                               st.feats.dtype)])
-    for off in OFFSETS_2:
-        offj = jnp.asarray(off)
-        idx = lookup(table, base + offj, query_mask)
-        w = jnp.prod(jnp.where(offj == 1, frac, 1 - frac), axis=-1)
-        out = out + padded[jnp.where(idx >= 0, idx, n)] * w[:, None]
+    offs = jnp.asarray(OFFSETS_2)  # (8, 3)
+    q8 = (base[:, None, :] + offs[None]).reshape(-1, 3)
+    idx = lookup_merge(st.coords, st.mask, q8,
+                       jnp.repeat(query_mask, 8)).reshape(nq, 8)
+    w = jnp.prod(jnp.where(offs[None] == 1, frac[:, None, :],
+                           1 - frac[:, None, :]), axis=-1)  # (nq, 8)
+    gathered = padded[jnp.where(idx >= 0, idx, n)]  # (nq, 8, C)
+    out = jnp.sum(gathered * w[..., None], axis=1)
     return jnp.where(query_mask[:, None], out, 0)

@@ -1,0 +1,105 @@
+"""Grounding model smoke tests: tokenizer, positive maps, loss, predict."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from embodiedscan_tpu.models.grounding import SparseFusionGrounder
+from embodiedscan_tpu.models.text import SimpleTokenizer, build_positive_maps
+from test_detector import tiny_batch
+
+
+class TestTokenizer:
+
+    def test_char_to_token(self):
+        tok = SimpleTokenizer(max_len=16)
+        out = tok(['find the red chair'])
+        assert out['input_ids'].shape == (1, 16)
+        # 'red' starts at char 9 -> token 3 (bos, find, the, red)
+        assert tok.char_to_token(0, 9) == 3
+        assert tok.char_to_token(0, 0) == 1
+
+    def test_positive_maps(self):
+        tok = SimpleTokenizer(max_len=16)
+        texts = ['find the red chair']
+        out = tok(texts)
+        maps = build_positive_maps(tok, texts, [[[[9, 18]]]], 16, 4)
+        assert maps.shape == (1, 4, 16)
+        # 'red chair' spans tokens 3 and 4, normalized to 0.5 each
+        np.testing.assert_allclose(maps[0, 0, 3:5], [0.5, 0.5], atol=1e-5)
+        assert maps[0, 1].sum() == 0
+        del out
+
+
+def grounding_batch(rng, b=2, g=3, max_len=16):
+    batch = tiny_batch(rng, b=b, g=g)
+    tok = SimpleTokenizer(max_len=max_len)
+    texts = ['find the red chair near the wall'] * b
+    enc = tok(texts)
+    spans = [[[[9, 18]], [[0, 4]], [[24, 32]]] for _ in range(b)]
+    maps = build_positive_maps(tok, texts, spans, max_len, g)
+    batch['text_ids'] = jnp.asarray(enc['input_ids'])
+    batch['text_mask'] = jnp.asarray(enc['attention_mask'])
+    batch['positive_maps'] = jnp.asarray(maps)
+    return batch
+
+
+def tiny_grounder(max_len=16):
+    return SparseFusionGrounder(
+        num_queries=16,
+        voxel_size=0.05,
+        max_text_len=max_len,
+        embed_dims=32,
+        num_decoder_layers=2,
+        input_capacity=512,
+        backbone_capacities=(512, 256, 256, 128, 64, 32),
+        fpn_capacities=(64, 64, 32, 32),
+        resnet_depth=18,
+        mink_depth=18,
+        text_arch='tiny',
+        text_layers=2,
+        text_hidden=32,
+        text_heads=4)
+
+
+class TestGrounder:
+
+    @pytest.fixture(scope='class')
+    def setup(self):
+        rng = np.random.RandomState(0)
+        batch = grounding_batch(rng)
+        model = tiny_grounder()
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False,
+                               mode='feats')
+        return model, variables, batch
+
+    def test_loss_finite(self, setup):
+        model, variables, batch = setup
+        losses, _ = model.apply(variables, batch, train=True, mode='loss',
+                                mutable=['batch_stats'])
+        assert 'loss_cls' in losses and 'd0.loss_cls' in losses
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), k
+
+    def test_grads_finite(self, setup):
+        model, variables, batch = setup
+
+        def loss_fn(params):
+            losses, _ = model.apply(
+                {'params': params, 'batch_stats': variables['batch_stats']},
+                batch, train=True, mode='loss', mutable=['batch_stats'])
+            return sum(losses.values())
+
+        grads = jax.grad(loss_fn)(variables['params'])
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+
+    def test_predict(self, setup):
+        model, variables, batch = setup
+        preds = model.apply(variables, batch, train=False, mode='predict')
+        assert preds['bboxes'].shape == (2, 16, 9)
+        assert preds['scores'].shape == (2, 16)
+        assert np.isfinite(np.asarray(preds['bboxes'])).all()
+        assert (np.asarray(preds['scores']) >= 0).all()

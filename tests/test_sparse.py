@@ -182,7 +182,8 @@ class TestConv:
         scores = jnp.asarray([0.5, 0.9, 0.1, 99.0])
         out = S.topk_select(st, scores, 2)
         got = np.asarray(out.coords)
-        np.testing.assert_array_equal(got, [[1, 0, 0], [0, 0, 0]])
+        # top-2 valid by score = {[0,0,0], [1,0,0]}, re-sorted by coord key
+        np.testing.assert_array_equal(got, [[0, 0, 0], [1, 0, 0]])
         assert np.asarray(out.mask).all()
 
     def test_to_dense(self):
