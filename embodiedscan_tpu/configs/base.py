@@ -1,0 +1,201 @@
+"""Typed dataclass configs with dot-override CLI semantics.
+
+Replaces the reference's mmengine python-file configs + ``--cfg-options``
+deep-merge (tools/train.py:37-45, SURVEY.md §5.6) with plain dataclasses: the
+nine reference configs map 1:1 onto the presets in this package, and
+``key.subkey=value`` CLI overrides work the same way.
+"""
+
+import dataclasses
+from typing import Any, Sequence
+
+
+def _convert(value: str, current: Any):
+    if isinstance(current, bool):
+        return value.lower() in ('1', 'true', 'yes')
+    if isinstance(current, int):
+        return int(value)
+    if isinstance(current, float):
+        return float(value)
+    if isinstance(current, (tuple, list)):
+        parts = [p for p in value.strip('[]()').split(',') if p]
+        elem = current[0] if len(current) else 0
+        return type(current)(_convert(p, elem) for p in parts)
+    return value
+
+
+def apply_overrides(cfg: Any, overrides: Sequence[str]):
+    """Apply ``a.b=c`` style overrides to a (nested) dataclass in place."""
+    for item in overrides:
+        key, _, value = item.partition('=')
+        parts = key.split('.')
+        obj = cfg
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        current = getattr(obj, parts[-1])
+        object.__setattr__(obj, parts[-1], _convert(value, current))
+    return cfg
+
+
+@dataclasses.dataclass
+class ScheduleConfig:
+    """Optimizer + LR schedule (configs/detection/mv-det3d...py:215-231)."""
+    max_epochs: int = 12
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    clip_norm: float = 10.0
+    milestones: Sequence[int] = (8, 11)
+    gamma: float = 0.1
+    val_interval: int = 1
+
+
+@dataclasses.dataclass
+class DataConfig:
+    data_root: str = 'data'
+    ann_file: str = 'embodiedscan_infos_train.pkl'
+    val_ann_file: str = 'embodiedscan_infos_val.pkl'
+    vg_file: str = ''
+    batch_size: int = 4
+    n_views_train: int = 20
+    n_views_test: int = 50
+    n_points: int = 100000
+    points_per_view: int = 10000
+    image_hw: Sequence[int] = (480, 480)
+    max_boxes: int = 200
+    repeat_times: int = 1
+    synthetic: bool = False  # use the synthetic fixture instead of disk data
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    task: str = 'mv_det3d'  # mv_det3d | cont_det3d | mv_grounding |
+    # mv_occ | cont_occ
+    num_classes: int = 284
+    voxel_size: float = 0.01
+    input_capacity: int = 98304
+    backbone_capacities: Sequence[int] = (65536, 32768, 24576, 8192, 4096,
+                                          2048)
+    fpn_capacities: Sequence[int] = (24576, 8192, 4096, 2048)
+    resnet_depth: int = 50
+    mink_depth: int = 34
+    # test cfg (configs/detection/mv-det3d...py:58)
+    nms_pre: int = 1000
+    max_candidates: int = 1024
+    max_dets: int = 256
+    # grounding
+    num_queries: int = 256
+    max_text_len: int = 256
+    # occupancy
+    occ_classes: int = 81
+    n_voxels: Sequence[int] = (40, 40, 16)
+
+
+@dataclasses.dataclass
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    schedule: ScheduleConfig = dataclasses.field(
+        default_factory=ScheduleConfig)
+    work_dir: str = 'work_dirs/default'
+    seed: int = 0
+    log_interval: int = 50
+    resume: str = ''  # '', 'auto', or a checkpoint step
+    n_devices: int = 0  # 0 = all
+
+
+def mv_det3d() -> Config:
+    """configs/detection/mv-det3d_8xb4_embodiedscan-3d-284class-9dof.py."""
+    cfg = Config()
+    cfg.work_dir = 'work_dirs/mv_det3d'
+    cfg.data.repeat_times = 10
+    return cfg
+
+
+def cont_det3d() -> Config:
+    """configs/detection/cont-det3d_8xb1_embodiedscan-3d-284class-9dof.py."""
+    cfg = Config()
+    cfg.model.task = 'cont_det3d'
+    cfg.data.batch_size = 1
+    cfg.data.n_views_train = 8
+    cfg.work_dir = 'work_dirs/cont_det3d'
+    return cfg
+
+
+def mv_grounding() -> Config:
+    """configs/grounding/mv-grounding_8xb12_embodiedscan-vg-9dof.py."""
+    cfg = Config()
+    cfg.model.task = 'mv_grounding'
+    cfg.model.fpn_capacities = (1024, 1024, 1024, 2048)
+    cfg.data.batch_size = 12
+    cfg.data.vg_file = 'embodiedscan_train_vg.json'
+    cfg.schedule.lr = 5e-4
+    cfg.schedule.weight_decay = 5e-4
+    cfg.work_dir = 'work_dirs/mv_grounding'
+    return cfg
+
+
+def mv_occ() -> Config:
+    """configs/occupancy/mv-occ_8xb1_embodiedscan-occ-80class.py."""
+    cfg = Config()
+    cfg.model.task = 'mv_occ'
+    cfg.data.batch_size = 1
+    cfg.data.n_views_train = 10
+    cfg.data.n_views_test = 20
+    cfg.schedule.max_epochs = 24
+    cfg.schedule.milestones = (16, 22)
+    cfg.work_dir = 'work_dirs/mv_occ'
+    return cfg
+
+
+def cont_occ() -> Config:
+    """configs/occupancy/cont-occ_8xb1_embodiedscan-occ-80class.py."""
+    cfg = mv_occ()
+    cfg.model.task = 'cont_occ'
+    cfg.work_dir = 'work_dirs/cont_occ'
+    return cfg
+
+
+PRESETS = {
+    'mv_det3d': mv_det3d,
+    'cont_det3d': cont_det3d,
+    'mv_grounding': mv_grounding,
+    'mv_occ': mv_occ,
+    'cont_occ': cont_occ,
+}
+
+
+def build_model(cfg: Config):
+    """Instantiate the flax model for a config."""
+    m = cfg.model
+    if m.task in ('mv_det3d', 'cont_det3d'):
+        from ..models.detector import SparseFusionDetector
+        return SparseFusionDetector(
+            num_classes=m.num_classes,
+            voxel_size=m.voxel_size,
+            input_capacity=m.input_capacity,
+            backbone_capacities=tuple(m.backbone_capacities),
+            fpn_capacities=tuple(m.fpn_capacities),
+            resnet_depth=m.resnet_depth,
+            mink_depth=m.mink_depth,
+            nms_pre=m.nms_pre,
+            max_candidates=m.max_candidates,
+            max_dets=m.max_dets)
+    if m.task == 'mv_grounding':
+        from ..models.grounding import SparseFusionGrounder
+        return SparseFusionGrounder(
+            num_queries=m.num_queries,
+            voxel_size=m.voxel_size,
+            max_text_len=m.max_text_len,
+            input_capacity=m.input_capacity,
+            backbone_capacities=tuple(m.backbone_capacities),
+            fpn_capacities=tuple(m.fpn_capacities),
+            resnet_depth=m.resnet_depth,
+            mink_depth=m.mink_depth)
+    if m.task in ('mv_occ', 'cont_occ'):
+        from ..models.occupancy import DenseFusionOccPredictor
+        return DenseFusionOccPredictor(
+            num_classes=m.occ_classes,
+            n_voxels=tuple(m.n_voxels),
+            resnet_depth=m.resnet_depth,
+            mink_depth=m.mink_depth)
+    raise ValueError(m.task)

@@ -182,6 +182,7 @@ def pack_sample(points: np.ndarray,
         imgs=imgs.astype(np.float32),
         proj=proj,
         aug_inv=np.linalg.inv(aug).astype(np.float32),
+        view_mask=np.ones(len(proj), bool),
         gt_boxes=boxes_pad,
         gt_labels=labels_pad,
         gt_mask=gmask,
@@ -194,3 +195,41 @@ def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
         k: np.stack([s[k] for s in samples])
         for k in samples[0]
     }
+
+
+def construct_multi_sweeps(view_points: List[np.ndarray],
+                           view_visible_ids: Optional[List[np.ndarray]],
+                           n_gt: int) -> List[Dict[str, np.ndarray]]:
+    """Build 1..N cumulative sweeps for the continuous setting.
+
+    TPU-native version of ``ConstructMultiSweeps`` (multiview.py:173-248) +
+    the batchwise expansion (data_preprocessor.py:176-208): instead of a
+    ragged pseudo-batch with image slicing ``[:idx + 1]``
+    (embodied_det3d.py:109-160), every sweep keeps all V views plus a
+    ``view_mask`` that hides future frames, so sweeps stack into one static
+    batch.
+
+    Args:
+        view_points: per-view (Ni, 3) global-frame points.
+        view_visible_ids: per-view arrays of visible gt instance indices.
+        n_gt: total number of gt instances.
+
+    Returns:
+        per sweep: dict(points (cumulative), view_mask (V,), gt_visible
+        (n_gt,) bool).
+    """
+    v = len(view_points)
+    sweeps = []
+    visible = np.zeros(n_gt, bool)
+    for idx in range(v):
+        if view_visible_ids is not None and len(view_visible_ids) > idx:
+            ids = np.asarray(view_visible_ids[idx], np.int64)
+            ids = ids[(ids >= 0) & (ids < n_gt)]
+            visible[ids] = True
+        view_mask = np.zeros(v, bool)
+        view_mask[:idx + 1] = True
+        sweeps.append(
+            dict(points=np.concatenate(view_points[:idx + 1]),
+                 view_mask=view_mask,
+                 gt_visible=visible.copy()))
+    return sweeps

@@ -21,7 +21,8 @@ from ..utils.precision import f32_matmuls
 def point_image_sample(points: jax.Array, point_mask: jax.Array,
                        img_feats: jax.Array, proj: jax.Array,
                        aug_inv: jax.Array, pad_hw: tuple,
-                       mode: str = 'nearest') -> jax.Array:
+                       mode: str = 'nearest',
+                       view_mask: jax.Array | None = None) -> jax.Array:
     """Sample per-point image features from all views of one sample.
 
     Args:
@@ -32,6 +33,9 @@ def point_image_sample(points: jax.Array, point_mask: jax.Array,
         aug_inv: (4, 4) inverse of the train-time 3D augmentation.
         pad_hw: static (H_pad, W_pad) of the network input images.
         mode: 'nearest' (reference ``aligned=False``) or 'bilinear'.
+        view_mask: optional (V,) validity of views — the continuous
+            (streaming) variants mask out future views instead of slicing
+            (embodied_det3d.py:109-160's ``[:idx + 1]`` pseudo-batch).
 
     Returns:
         (N, C) mean of valid per-view samples (zeros where no view sees the
@@ -49,6 +53,8 @@ def point_image_sample(points: jax.Array, point_mask: jax.Array,
 
     valid = (coor_x > 0) & (coor_x < w_pad) & (coor_y > 0) & \
         (coor_y < h_pad) & (depth > 0) & point_mask[None, :]
+    if view_mask is not None:
+        valid = valid & view_mask[:, None]
 
     # grid_sample(align_corners=True) pixel mapping: x_f = u / W_pad * (Wf-1)
     xf = coor_x / w_pad * (wf - 1)

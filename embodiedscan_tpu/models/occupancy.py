@@ -270,10 +270,13 @@ class DenseFusionOccPredictor(nn.Module):
 
         prior = self._prior_points()  # (Nx*Ny*Nz, 3)
         pmask = jnp.ones((prior.shape[0],), bool)
+        view_mask = batch.get('view_mask')
         img_volume = jax.vmap(point_image_sample,
-                              in_axes=(None, None, 0, 0, 0, None, None))(
+                              in_axes=(None, None, 0, 0, 0, None, None,
+                                       0 if view_mask is not None else None))(
                                   prior, pmask, f, batch['proj'],
-                                  batch['aug_inv'], (h, w), 'nearest')
+                                  batch['aug_inv'], (h, w), 'nearest',
+                                  view_mask)
         nx, ny, nz = self.n_voxels
         img_volume = img_volume.reshape(b, nx, ny, nz, c2)
 

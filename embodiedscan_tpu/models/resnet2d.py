@@ -89,17 +89,19 @@ class ResNet(nn.Module):
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
         block, stage_blocks = self.arch[self.depth]
         x = nn.Conv(self.base_channels, (7, 7), strides=(2, 2), padding=3,
-                    use_bias=False, dtype=self.dtype)(x)
-        x = FrozenBatchNorm()(x)
+                    use_bias=False, dtype=self.dtype, name='stem_conv')(x)
+        x = FrozenBatchNorm(name='stem_bn')(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         outs = []
         for i, blocks in enumerate(stage_blocks):
             planes = self.base_channels * 2**i
             stride = 1 if i == 0 else 2
-            x = block(planes, stride, dtype=self.dtype)(x)
-            for _ in range(blocks - 1):
-                x = block(planes, 1, dtype=self.dtype)(x)
+            x = block(planes, stride, dtype=self.dtype,
+                      name=f'layer{i + 1}_0')(x)
+            for j in range(blocks - 1):
+                x = block(planes, 1, dtype=self.dtype,
+                          name=f'layer{i + 1}_{j + 1}')(x)
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)

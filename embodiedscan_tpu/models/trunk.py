@@ -64,10 +64,13 @@ class SparseFusionTrunk(nn.Module):
             f2d = f2d.reshape(b, v, hf, wf, c2).astype(jnp.float32)
             world = lvl.coords.astype(jnp.float32) * (STRIDES[i] *
                                                       self.voxel_size)
+            view_mask = batch.get('view_mask')
             img_feat = jax.vmap(point_image_sample,
-                                in_axes=(0, 0, 0, 0, 0, None, None))(
+                                in_axes=(0, 0, 0, 0, 0, None, None, 0 if
+                                         view_mask is not None else None))(
                                     world, lvl.mask, f2d, batch['proj'],
-                                    batch['aug_inv'], (h, w), 'nearest')
+                                    batch['aug_inv'], (h, w), 'nearest',
+                                    view_mask)
             fused.append(
                 S.SparseTensor(
                     lvl.coords,

@@ -1,0 +1,206 @@
+"""Training loop: pjit'd steps over a data mesh, logging, checkpoints, resume.
+
+The ~500-line explicit replacement for mmengine's Runner (SURVEY.md §7):
+epoch-based schedule, per-step loss logging every ``log_interval`` (reference
+LoggerHook(50)), per-epoch orbax checkpoints with keep-N and ``--resume
+auto`` (CheckpointHook, tools/train.py:111-117), paramwise lr multipliers
+(grounding text encoder frozen / decoder x0.1 — mv-grounding...py:197-201)
+and 2D-backbone stage freezing (frozen_stages=1) as optimizer masks.
+"""
+
+import logging
+import time
+from typing import Callable, Iterable
+
+import jax
+import numpy as np
+
+from ..configs.base import Config, build_model
+from ..parallel.mesh import (batch_sharding, make_mesh, replicate,
+                             shard_batch)
+from .checkpoint import CheckpointManager
+from .state import (TrainState, create_train_state, make_optimizer,
+                    make_train_step, multistep_lr)
+
+log = logging.getLogger('embodiedscan_tpu')
+
+
+def _setup_logging():
+    """INFO for our logger only; orbax/absl stay at WARNING."""
+    logging.basicConfig(level=logging.WARNING, force=True,
+                        format='%(asctime)s %(levelname)s %(message)s')
+    log.setLevel(logging.INFO)
+
+
+def lr_mult_fn_for(task: str) -> Callable[[tuple], float] | None:
+    """Per-path lr multipliers mirroring the reference paramwise_cfg."""
+
+    def base_freeze(path):
+        joined = '/'.join(str(p) for p in path)
+        # frozen_stages=1 + frozen stem (mv-det3d...py:31)
+        if 'stem_conv' in joined or 'stem_bn' in joined or 'layer1_' in joined:
+            return 0.0
+        return 1.0
+
+    if task == 'mv_grounding':
+
+        def fn(path):
+            joined = '/'.join(str(p) for p in path)
+            if 'text_encoder' in joined:
+                return 0.0  # lr_mult=0 (mv-grounding...py:199)
+            if joined.startswith(('layer', 'self_posembed', 'cross_posembed',
+                                  'decoder_norm')):
+                return 0.1  # decoder lr_mult=0.1 (mv-grounding...py:200)
+            return base_freeze(path)
+
+        return fn
+    return base_freeze
+
+
+def make_dataset(cfg: Config, train: bool = True) -> Iterable:
+    """Yield collated numpy batches forever (one pass = one epoch)."""
+    from ..data.loader import build_loader
+    return build_loader(cfg, train=train)
+
+
+def init_model(cfg: Config, batch):
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(cfg.seed), batch, train=False,
+                           mode='feats')
+    return model, variables
+
+
+def train(cfg: Config, max_steps: int | None = None):
+    """Run training per the config; returns the final TrainState."""
+    _setup_logging()
+    mesh = make_mesh(jax.devices()[:cfg.n_devices] if cfg.n_devices else None)
+    loader = make_dataset(cfg, train=True)
+    steps_per_epoch = loader.steps_per_epoch
+
+    first = next(iter(loader))
+    model, variables = init_model(cfg, first)
+    sched = multistep_lr(cfg.schedule.lr, steps_per_epoch,
+                         tuple(cfg.schedule.milestones), cfg.schedule.gamma)
+    tx = make_optimizer(sched, cfg.schedule.weight_decay,
+                        cfg.schedule.clip_norm,
+                        lr_mult_fn=lr_mult_fn_for(cfg.model.task),
+                        params_template=variables['params'])
+    state = create_train_state(model, variables, tx)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    log.info('task=%s params=%.2fM devices=%d steps/epoch=%d',
+             cfg.model.task, n_params / 1e6, mesh.size, steps_per_epoch)
+
+    ckpt = CheckpointManager(cfg.work_dir,
+                             max_keep=4 if 'det' in cfg.model.task else 3)
+    start_step = 0
+    if cfg.resume:
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            start_step = int(state.step)
+            log.info('resumed from step %d', start_step)
+
+    step_fn = jax.jit(make_train_step(model, tx), donate_argnums=(0,),
+                      in_shardings=(None, batch_sharding(mesh)))
+    state = replicate(mesh, state)
+
+    total_steps = steps_per_epoch * cfg.schedule.max_epochs
+    if max_steps is not None:
+        total_steps = min(total_steps, start_step + max_steps)
+    t0 = time.time()
+    window = []
+    step = start_step
+    with mesh:
+        for batch in loader:
+            if step >= total_steps:
+                break
+            batch = shard_batch(mesh, batch)
+            state, metrics = step_fn(state, batch)
+            window.append(metrics)
+            step += 1
+            if step % cfg.log_interval == 0 or step == total_steps:
+                vals = {
+                    k: float(np.mean([float(m[k]) for m in window]))
+                    for k in window[0]
+                }
+                dt = (time.time() - t0) / len(window)
+                log.info('step %d/%d %.2fs/it %s', step, total_steps, dt,
+                         ' '.join(f'{k}={v:.4f}' for k, v in vals.items()))
+                window = []
+                t0 = time.time()
+            if step % steps_per_epoch == 0:
+                ckpt.save(step, jax.device_get(state))
+                log.info('checkpoint saved at step %d (epoch %d)', step,
+                         step // steps_per_epoch)
+    if step % steps_per_epoch != 0:
+        ckpt.save(step, jax.device_get(state))
+    return state
+
+
+def evaluate(cfg: Config, state: TrainState | None = None,
+             max_scenes: int | None = None) -> dict:
+    """Run the task's eval protocol over the val split."""
+    loader = make_dataset(cfg, train=False)
+    first = next(iter(loader))
+    model, variables = init_model(cfg, first)
+    if state is None:
+        ckpt = CheckpointManager(cfg.work_dir)
+        # template must match the training optimizer's state structure
+        tx = make_optimizer(multistep_lr(cfg.schedule.lr, 100),
+                            cfg.schedule.weight_decay,
+                            cfg.schedule.clip_norm,
+                            lr_mult_fn=lr_mult_fn_for(cfg.model.task),
+                            params_template=variables['params'])
+        template = create_train_state(model, variables, tx)
+        restored = ckpt.restore(template)
+        if restored is not None:
+            state = restored
+            log.info('loaded checkpoint step %d', int(state.step))
+    if state is not None:
+        variables = {'params': state.params, 'batch_stats': state.batch_stats}
+
+    predict = jax.jit(
+        lambda v, b: model.apply(v, b, train=False, mode='predict'))
+
+    gts, dts = [], []
+    n = 0
+    for batch in loader:
+        preds = jax.device_get(predict(variables, batch))
+        b = batch['points'].shape[0]
+        for i in range(b):
+            if cfg.model.task in ('mv_det3d', 'cont_det3d'):
+                keep = preds['mask'][i]
+                dts.append(
+                    dict(bboxes=preds['bboxes'][i][keep],
+                         scores=preds['scores'][i][keep],
+                         labels=preds['labels'][i][keep]))
+                gm = batch['gt_mask'][i]
+                gts.append(
+                    dict(gt_boxes=batch['gt_boxes'][i][gm],
+                         gt_labels=batch['gt_labels'][i][gm]))
+            elif cfg.model.task == 'mv_grounding':
+                dts.append(dict(bboxes=preds['bboxes'][i],
+                                scores=preds['scores'][i]))
+                gm = batch['gt_mask'][i]
+                gts.append(dict(gt_boxes=batch['gt_boxes'][i][gm]))
+            else:  # occupancy
+                dts.append(preds[i])
+                from ..models.occupancy import occ_multiscale_targets
+                import jax.numpy as jnp
+                tgt = occ_multiscale_targets(
+                    jnp.asarray(batch['gt_occ'][i]),
+                    jnp.asarray(batch['gt_occ_mask'][i]), 1,
+                    tuple(cfg.model.n_voxels))
+                gts.append(np.asarray(tgt))
+            n += 1
+        if max_scenes is not None and n >= max_scenes:
+            break
+
+    if cfg.model.task in ('mv_det3d', 'cont_det3d'):
+        from ..eval.indoor_eval import indoor_eval
+        return indoor_eval(gts, dts, (0.25, 0.5), verbose=True)
+    if cfg.model.task == 'mv_grounding':
+        from ..eval.grounding_metric import ground_eval
+        return ground_eval(gts, dts)
+    from ..eval.occupancy_metric import occupancy_eval
+    return occupancy_eval(gts, dts, cfg.model.occ_classes)

@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Eval CLI (reference tools/test.py semantics).
+
+Usage:
+    python tools/test.py mv_det3d [key=value ...] [--work-dir DIR]
+        [--max-scenes N] [--synthetic]
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, '.')
+
+
+def main():
+    parser = argparse.ArgumentParser(description='Evaluate a model')
+    parser.add_argument('config')
+    parser.add_argument('overrides', nargs='*')
+    parser.add_argument('--work-dir', default=None)
+    parser.add_argument('--max-scenes', type=int, default=None)
+    parser.add_argument('--platform', default='',
+                        help='force jax platform (cpu|tpu); the container '
+                             'pins the TPU plugin via sitecustomize, so env '
+                             'vars alone cannot switch to CPU')
+    parser.add_argument('--synthetic', action='store_true')
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update('jax_platforms', args.platform)
+
+    from embodiedscan_tpu.configs.base import PRESETS, apply_overrides
+    cfg = PRESETS[args.config]()
+    apply_overrides(cfg, args.overrides)
+    if args.work_dir:
+        cfg.work_dir = args.work_dir
+    if args.synthetic:
+        cfg.data.synthetic = True
+
+    from embodiedscan_tpu.train.loop import evaluate
+    metrics = evaluate(cfg, max_scenes=args.max_scenes)
+    print(json.dumps({k: round(float(v), 5) for k, v in metrics.items()},
+                     indent=1))
+
+
+if __name__ == '__main__':
+    main()
