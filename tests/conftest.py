@@ -16,3 +16,55 @@ import jax
 
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_num_cpu_devices', 8)
+
+
+import pickle
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope='session')
+def fake_data(tmp_path_factory):
+    from PIL import Image
+    root = tmp_path_factory.mktemp('esdata')
+    os.makedirs(root / 'scannet', exist_ok=True)
+    rng = np.random.RandomState(0)
+    infos = []
+    for s in range(3):
+        images = []
+        for v in range(4):
+            rgb = rng.randint(0, 255, (48, 64, 3)).astype(np.uint8)
+            depth = (rng.uniform(500, 3000, (48, 64))).astype(np.uint16)
+            ip = f'scannet/s{s}_v{v}.jpg'
+            dp = f'scannet/s{s}_v{v}.png'
+            Image.fromarray(rgb).save(root / ip)
+            Image.fromarray(depth).save(root / dp)
+            cam2global = np.eye(4)
+            cam2global[:3, 3] = [v * 0.1, 0, 1.5]
+            images.append(
+                dict(img_path=ip, depth_path=dp, cam2global=cam2global,
+                     visible_instance_ids=[0, 1]))
+        instances = [
+            dict(bbox_3d=np.concatenate([
+                rng.uniform(0, 3, 3),
+                rng.uniform(0.2, 1, 3),
+                rng.uniform(-0.3, 0.3, 3)
+            ]).tolist(), bbox_label_3d=int(rng.randint(0, 5)))
+            for _ in range(2)
+        ]
+        infos.append(
+            dict(sample_idx=f'scannet/scene{s:04d}_00',
+                 axis_align_matrix=np.eye(4),
+                 cam2img=np.array([[60.0, 0, 32], [0, 60, 24], [0, 0, 1]]),
+                 depth_cam2img=np.array([[60.0, 0, 32], [0, 60, 24],
+                                         [0, 0, 1]]),
+                 images=images, instances=instances))
+    pkl = dict(data_list=infos,
+               metainfo=dict(categories={f'c{i}': i for i in range(5)}))
+    for name in ('embodiedscan_infos_train.pkl', 'embodiedscan_infos_val.pkl'):
+        with open(root / name, 'wb') as f:
+            pickle.dump(pkl, f)
+    return str(root)
+
+
