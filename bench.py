@@ -94,8 +94,11 @@ def run(scale: str):
         fpn_capacities=cfg['fpn_capacities'])
     batch = make_batch(cfg['b'], cfg['p'], cfg['v'], cfg['hw'], cfg['g'],
                        cfg['classes'])
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False,
-                           mode='feats')
+    # jit the init: eager init dispatches thousands of individual ops,
+    # each compiled separately (minutes over the TPU tunnel)
+    init = jax.jit(
+        lambda rng, b: model.init(rng, b, train=False, mode='feats'))
+    variables = init(jax.random.PRNGKey(0), batch)
     tx = make_optimizer(multistep_lr(1e-3, 1000), clip_norm=10.0)
     state = create_train_state(model, variables, tx)
     step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))

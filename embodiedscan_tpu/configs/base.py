@@ -101,6 +101,7 @@ class Config:
     log_interval: int = 50
     resume: str = ''  # '', 'auto', or a checkpoint step
     n_devices: int = 0  # 0 = all
+    profile_dir: str = ''  # if set, capture a jax.profiler trace of steps 5-10
 
 
 def mv_det3d() -> Config:

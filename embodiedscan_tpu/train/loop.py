@@ -65,8 +65,11 @@ def make_dataset(cfg: Config, train: bool = True) -> Iterable:
 
 def init_model(cfg: Config, batch):
     model = build_model(cfg)
-    variables = model.init(jax.random.PRNGKey(cfg.seed), batch, train=False,
-                           mode='feats')
+    # jitted init: eager init would dispatch thousands of individually
+    # compiled ops (pathologically slow over the remote-TPU tunnel)
+    init = jax.jit(
+        lambda rng, b: model.init(rng, b, train=False, mode='feats'))
+    variables = init(jax.random.PRNGKey(cfg.seed), batch)
     return model, variables
 
 
@@ -110,10 +113,21 @@ def train(cfg: Config, max_steps: int | None = None):
     t0 = time.time()
     window = []
     step = start_step
+    profiling = False
     with mesh:
         for batch in loader:
             if step >= total_steps:
                 break
+            # tracing/profiling hooks (SURVEY.md §5.1): xprof trace of a
+            # steady-state step window, named per-phase via jit boundaries
+            if cfg.profile_dir and step - start_step == 5:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
+            if profiling and step - start_step == 10:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                profiling = False
+                log.info('profiler trace written to %s', cfg.profile_dir)
             batch = shard_batch(mesh, batch)
             state, metrics = step_fn(state, batch)
             window.append(metrics)
