@@ -85,9 +85,16 @@ class ModelConfig:
     # grounding
     num_queries: int = 256
     max_text_len: int = 256
+    text_arch: str = 'roberta'  # 'roberta' | 'tiny' (tests/smoke)
+    text_layers: int = 12
+    text_hidden: int = 768
+    text_heads: int = 12
     # occupancy
     occ_classes: int = 81
     n_voxels: Sequence[int] = (40, 40, 16)
+    occ_fpn_channels: int = 256
+    occ_pre_neck_channels: int = 0
+    resnet_base_channels: int = 64
 
 
 @dataclasses.dataclass
@@ -191,12 +198,21 @@ def build_model(cfg: Config):
             backbone_capacities=tuple(m.backbone_capacities),
             fpn_capacities=tuple(m.fpn_capacities),
             resnet_depth=m.resnet_depth,
-            mink_depth=m.mink_depth)
+            mink_depth=m.mink_depth,
+            text_arch=m.text_arch,
+            text_layers=m.text_layers,
+            text_hidden=m.text_hidden,
+            text_heads=m.text_heads)
     if m.task in ('mv_occ', 'cont_occ'):
         from ..models.occupancy import DenseFusionOccPredictor
         return DenseFusionOccPredictor(
             num_classes=m.occ_classes,
             n_voxels=tuple(m.n_voxels),
+            input_capacity=m.input_capacity,
+            backbone_capacities=tuple(m.backbone_capacities),
             resnet_depth=m.resnet_depth,
-            mink_depth=m.mink_depth)
+            resnet_base_channels=m.resnet_base_channels,
+            mink_depth=m.mink_depth,
+            fpn_channels=m.occ_fpn_channels,
+            pre_neck_channels=m.occ_pre_neck_channels)
     raise ValueError(m.task)

@@ -40,6 +40,15 @@ class SyntheticLoader:
             min(d.n_views_test, len(scan['views'])),
             num_points=d.n_points, num_boxes=d.max_boxes, seed=seed,
             train=self.train, points_per_view=d.points_per_view)
+        if self.cfg.model.task in ('cont_det3d', 'cont_occ'):
+            # continuous pseudo-batch element: mask a random sweep prefix
+            # of the views (construct_multi_sweeps semantics)
+            rng = np.random.RandomState(seed + 1)
+            v = sample['view_mask'].shape[0]
+            keep = rng.randint(1, v + 1)
+            vm = np.zeros(v, bool)
+            vm[:keep] = True
+            sample['view_mask'] = vm
         if self.cfg.model.task in ('mv_occ', 'cont_occ'):
             rng = np.random.RandomState(seed)
             m = 256

@@ -235,6 +235,11 @@ class DenseFusionOccPredictor(nn.Module):
     resnet_base_channels: int = 64
     mink_depth: int = 34
     neck3d_channels: int = 128
+    fpn_channels: int = 256
+    # optional 1x1 projection before the U-Net (0 = off). The reference
+    # U-Net doubles from 768 channels (~700M params); this knob enables
+    # smaller smoke/test variants without touching the U-Net topology.
+    pre_neck_channels: int = 0
 
     @property
     def voxel_size(self):
@@ -264,7 +269,7 @@ class DenseFusionOccPredictor(nn.Module):
         feats2d = ResNet(depth=self.resnet_depth,
                          base_channels=self.resnet_base_channels)(
                              imgs.reshape(b * v, h, w, 3))
-        f = FPN()(feats2d)[0]  # finest level, stride 4
+        f = FPN(out_channels=self.fpn_channels)(feats2d)[0]  # finest, stride 4
         hf, wf, c2 = f.shape[1:]
         f = f.reshape(b, v, hf, wf, c2)
 
@@ -296,6 +301,8 @@ class DenseFusionOccPredictor(nn.Module):
             top, jnp.zeros((3,), jnp.int32), tuple(self.n_voxels))
 
         x = jnp.concatenate([img_volume, point_volume], axis=-1)
+        if self.pre_neck_channels:
+            x = nn.Dense(self.pre_neck_channels, name='pre_neck')(x)
         feats = ImVoxelNeck(x.shape[-1], self.neck3d_channels)(x, train=train)
         head = OccHead(self.num_classes)
         preds = head(feats)

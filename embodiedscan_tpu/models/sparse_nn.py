@@ -104,8 +104,8 @@ class SparseStage(nn.Module):
                               S.OFFSETS_3)
         out = SparseConv(self.features)(out, dmap.mask, nbr)
         out = MaskedBatchNorm()(out, dmap.mask, use_running_average=not train)
-        # downsample branch: 1x1 stride-2 conv + BN
-        d_nbr = strided_queries(st, dmap, S.OFFSETS_1)
+        # downsample branch: 1x1 stride-2 conv + BN (inverse-map, no sort)
+        d_nbr = jax.vmap(S.center_child_index)(st, dmap)
         down = SparseConv(self.features, kernel_size=1)(st.feats, st.mask,
                                                         d_nbr,
                                                         out_mask=dmap.mask)

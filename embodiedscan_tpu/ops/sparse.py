@@ -179,11 +179,26 @@ def strided_conv(st: SparseTensor, dmap: DownsampleMap, weights: jax.Array,
     return SparseTensor(dmap.coords, out.astype(st.feats.dtype), dmap.mask)
 
 
+def center_child_index(st: SparseTensor, dmap: DownsampleMap) -> jax.Array:
+    """(M, 1) index of each parent's (0,0,0)-child, via the dedup inverse.
+
+    The input row at exactly ``2*o`` is the one whose coords are all even and
+    whose dedup inverse is ``o`` — no sort/lookup needed (sorts are the
+    dominant cost of coordinate ops on TPU).
+    """
+    m = dmap.coords.shape[0]
+    zero_child = st.mask & jnp.all(st.coords % 2 == 0, axis=-1) & \
+        (dmap.inverse >= 0)
+    slot = jnp.where(zero_child, dmap.inverse, m)
+    nbr = jnp.full((m + 1,), -1, jnp.int32).at[slot].set(
+        jnp.arange(st.capacity, dtype=jnp.int32))[:m]
+    return nbr[:, None]
+
+
 def conv1x1_strided(st: SparseTensor, dmap: DownsampleMap, weights: jax.Array,
                     bias: jax.Array | None = None) -> SparseTensor:
     """Kernel-1 stride-2 conv (ResNet downsample branch): gather at 2*o."""
-    queries = dmap.coords * 2
-    nbr = lookup_merge(st.coords, st.mask, queries, dmap.mask)[:, None]
+    nbr = center_child_index(st, dmap)
     out = gather_matmul_conv(st.feats, st.mask, nbr, weights[None] if
                              weights.ndim == 2 else weights, bias)
     out = jnp.where(dmap.mask[:, None], out, 0)
