@@ -156,3 +156,129 @@ class EmbodiedScanLoader:
                 yield pl.collate(samples)
             if not self.train:
                 return
+
+
+VIEW_DEP_WORDS = ('front', 'behind', 'back', 'left', 'right', 'facing',
+                  'leftmost', 'rightmost', 'looking', 'across')
+
+
+def is_view_dep(text: str) -> bool:
+    """sr3d view-dependence heuristic (mv_3dvg_dataset.py:221-228)."""
+    words = set(text.split())
+    return any(w in words for w in VIEW_DEP_WORDS)
+
+
+def join_vg_annotations(infos: List[dict], vg_entries: List[dict],
+                        tokens_positive_rebuild: bool = True) -> List[dict]:
+    """Join VG language annotations with scan infos
+    (mv_3dvg_dataset.py:287-405).
+
+    Returns per-prompt records: scan info index, text, target box rows,
+    tokens_positive char spans, and the Easy/Hard/View-Dep/Unique flags.
+    """
+    by_id = {info['sample_idx']: i for i, info in enumerate(infos)}
+    out = []
+    for anno in vg_entries:
+        sid = anno.get('scan_id')
+        if sid not in by_id:
+            continue
+        info = infos[by_id[sid]]
+        instances = info.get('instances', [])
+        # bbox_id: explicit per-instance id when present, else position
+        obj_ids = np.asarray([
+            inst.get('bbox_id', i) for i, inst in enumerate(instances)
+        ])
+        rec = dict(info_idx=by_id[sid], text=anno['text'],
+                   is_view_dep=is_view_dep(anno['text']),
+                   is_hard=len(anno.get('distractor_ids', [])) > 3,
+                   is_unique=len(anno.get('distractor_ids', [])) == 0)
+        target_id = anno.get('target_id')
+        if target_id is None:
+            rec['target_rows'] = list(range(len(instances)))
+            rec['tokens_positive'] = []
+            out.append(rec)
+            continue
+        targets = [target_id] if isinstance(target_id, int) else target_id
+        rows = []
+        ok = True
+        for tid in targets:
+            ind = np.where(obj_ids == tid)[0]
+            if len(ind) != 1:
+                ok = False
+                break
+            rows.append(int(ind[0]))
+        if not ok:
+            continue
+        rec['target_rows'] = rows
+        if tokens_positive_rebuild and 'target' in anno:
+            spans = [[anno['text'].find(part),
+                      anno['text'].find(part) + len(part)]
+                     for part in anno['target'].split()
+                     if anno['text'].find(part) >= 0]
+            rec['tokens_positive'] = [spans] * len(rows) if isinstance(
+                target_id, int) else [[s] for s in spans][:len(rows)]
+        elif 'tokens_positive' in anno:
+            tp = anno['tokens_positive']
+            rec['tokens_positive'] = [tp] if isinstance(target_id, int) \
+                else [[tp[i]] for i in range(len(rows))]
+        else:
+            rec['tokens_positive'] = [[] for _ in rows]
+        out.append(rec)
+    return out
+
+
+class GroundingLoader(EmbodiedScanLoader):
+    """Per-prompt batches for visual grounding (MultiView3DGroundingDataset)."""
+
+    def __init__(self, cfg: Config, train: bool):
+        super().__init__(cfg, train)
+        import json as _json
+        with open(os.path.join(cfg.data.data_root, cfg.data.vg_file)) as f:
+            vg = _json.load(f)
+        self.records = join_vg_annotations(self.infos, vg)
+        from ..models.text import SimpleTokenizer
+        self.tokenizer = SimpleTokenizer(max_len=cfg.model.max_text_len)
+        self.steps_per_epoch = max(1, len(self.records) // self.batch_size)
+
+    def _build_vg_sample(self, rec: dict, seed: int):
+        from ..models.text import build_positive_maps
+        sample = self._build_sample(self.infos[rec['info_idx']], seed)
+        # narrow gt to the prompt's target boxes
+        d = self.cfg.data
+        rows = rec['target_rows'][:d.max_boxes]
+        g = len(rows)
+        boxes = sample['gt_boxes'].copy()
+        labels = sample['gt_labels'].copy()
+        gmask = np.zeros_like(sample['gt_mask'])
+        boxes[:g] = sample['gt_boxes'][rows]
+        labels[:g] = sample['gt_labels'][rows]
+        gmask[:g] = True
+        sample['gt_boxes'], sample['gt_labels'] = boxes, labels
+        sample['gt_mask'] = gmask
+        enc = self.tokenizer([rec['text']])
+        maps = build_positive_maps(self.tokenizer, [rec['text']],
+                                   [rec['tokens_positive']],
+                                   self.cfg.model.max_text_len, d.max_boxes)
+        sample['text_ids'] = enc['input_ids'][0]
+        sample['text_mask'] = enc['attention_mask'][0]
+        sample['positive_maps'] = maps[0]
+        sample['is_view_dep'] = np.bool_(rec['is_view_dep'])
+        sample['is_hard'] = np.bool_(rec['is_hard'])
+        sample['is_unique'] = np.bool_(rec['is_unique'])
+        return sample
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.cfg.seed)
+        order = np.arange(len(self.records))
+        while True:
+            idx = rng.permutation(order) if self.train else order
+            for start in range(0, len(idx) - self.batch_size + 1,
+                               self.batch_size):
+                samples = [
+                    self._build_vg_sample(self.records[i],
+                                          int(rng.randint(1 << 30)))
+                    for i in idx[start:start + self.batch_size]
+                ]
+                yield pl.collate(samples)
+            if not self.train:
+                return

@@ -94,5 +94,8 @@ class SyntheticLoader:
 def build_loader(cfg: Config, train: bool):
     if cfg.data.synthetic:
         return SyntheticLoader(cfg, train)
+    if cfg.model.task == 'mv_grounding' and cfg.data.vg_file:
+        from .dataset import GroundingLoader
+        return GroundingLoader(cfg, train)
     from .dataset import EmbodiedScanLoader
     return EmbodiedScanLoader(cfg, train)

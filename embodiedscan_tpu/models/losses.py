@@ -115,3 +115,36 @@ def cross_entropy_ignore(logits: jax.Array, labels: jax.Array,
     else:
         denom = jnp.sum(valid)
     return jnp.sum(jnp.where(valid, nll, 0)) / jnp.maximum(denom, 1.0)
+
+
+def rotated_iou_loss(pred: jax.Array, target: jax.Array,
+                     valid: jax.Array) -> jax.Array:
+    """1 - IoU loss for rotated boxes (reference rotated_iou_loss.py:14-35).
+
+    Uses the exact oriented-overlap kernel instead of mmcv's CUDA
+    ``diff_iou_rotated_3d``; differentiable through the clip construction.
+    Boxes with fewer than 9 dims are padded with zero euler angles.
+    """
+    from ..geometry.iou import _pair_intersection_volume, boxes7d_to_9d
+    p9 = boxes7d_to_9d(pred)
+    t9 = boxes7d_to_9d(target)
+    vol = jax.vmap(_pair_intersection_volume)(p9, t9)
+    vp = jnp.abs(p9[:, 3] * p9[:, 4] * p9[:, 5])
+    vt = jnp.abs(t9[:, 3] * t9[:, 4] * t9[:, 5])
+    iou = vol / jnp.clip(vp + vt - vol, min=1e-8)
+    loss = jnp.where(valid, 1.0 - iou, 0.0)
+    return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def axis_aligned_iou_loss(pred: jax.Array, target: jax.Array,
+                          valid: jax.Array) -> jax.Array:
+    """1 - IoU for axis-aligned (x1y1z1x2y2z2) boxes (mmdet3d equivalent)."""
+    lt = jnp.maximum(pred[:, :3], target[:, :3])
+    rb = jnp.minimum(pred[:, 3:], target[:, 3:])
+    whd = jnp.clip(rb - lt, min=0.0)
+    inter = whd[:, 0] * whd[:, 1] * whd[:, 2]
+    vp = jnp.prod(jnp.clip(pred[:, 3:] - pred[:, :3], min=0), -1)
+    vt = jnp.prod(jnp.clip(target[:, 3:] - target[:, :3], min=0), -1)
+    iou = inter / jnp.clip(vp + vt - inter, min=1e-8)
+    loss = jnp.where(valid, 1.0 - iou, 0.0)
+    return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1)

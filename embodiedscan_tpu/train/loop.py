@@ -196,7 +196,17 @@ def evaluate(cfg: Config, state: TrainState | None = None,
                 dts.append(dict(bboxes=preds['bboxes'][i],
                                 scores=preds['scores'][i]))
                 gm = batch['gt_mask'][i]
-                gts.append(dict(gt_boxes=batch['gt_boxes'][i][gm]))
+                gts.append(
+                    dict(gt_boxes=batch['gt_boxes'][i][gm],
+                         is_view_dep=bool(
+                             np.asarray(batch.get('is_view_dep',
+                                                  [False] * b)[i])),
+                         is_hard=bool(
+                             np.asarray(batch.get('is_hard',
+                                                  [False] * b)[i])),
+                         is_unique=bool(
+                             np.asarray(batch.get('is_unique',
+                                                  [False] * b)[i]))))
             else:  # occupancy
                 dts.append(preds[i])
                 from ..models.occupancy import occ_multiscale_targets

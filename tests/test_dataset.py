@@ -51,3 +51,46 @@ class TestDataset:
         info = dict(infos[0], sample_idx='matterport3d/xx/region1')
         scan = parse_scan(info, fake_data)
         assert scan['depth_shift'] == 4000.0
+
+
+class TestGroundingJoin:
+
+    def test_join_vg(self, fake_data):
+        from embodiedscan_tpu.data.dataset import (join_vg_annotations,
+                                                   load_info_pkl)
+        infos, _ = load_info_pkl(
+            os.path.join(fake_data, 'embodiedscan_infos_train.pkl'))
+        vg = [
+            dict(scan_id=infos[0]['sample_idx'],
+                 text='find the chair in front of the table',
+                 target='chair', target_id=0, distractor_ids=[1, 2, 3, 4]),
+            dict(scan_id=infos[1]['sample_idx'],
+                 text='the only bed', target='bed', target_id=1,
+                 distractor_ids=[]),
+            dict(scan_id='missing/scene', text='x', target_id=0,
+                 distractor_ids=[]),
+            dict(scan_id=infos[0]['sample_idx'], text='bad target',
+                 target='x', target_id=99, distractor_ids=[]),
+        ]
+        recs = join_vg_annotations(infos, vg)
+        assert len(recs) == 2  # missing scan + bad target dropped
+        assert recs[0]['is_view_dep'] and recs[0]['is_hard']
+        assert not recs[0]['is_unique']
+        assert recs[1]['is_unique'] and not recs[1]['is_view_dep']
+        assert recs[0]['target_rows'] == [0]
+        # tokens_positive rebuilt from the target word span
+        (spans,) = recs[0]['tokens_positive']
+        beg, end = spans[0]
+        assert recs[0] is not None
+        assert 'chair' == 'find the chair in front of the table'[beg:end]
+
+    def test_multi_target(self, fake_data):
+        from embodiedscan_tpu.data.dataset import (join_vg_annotations,
+                                                   load_info_pkl)
+        infos, _ = load_info_pkl(
+            os.path.join(fake_data, 'embodiedscan_infos_train.pkl'))
+        vg = [dict(scan_id=infos[0]['sample_idx'], text='both chairs here',
+                   target='both chairs', target_id=[0, 1],
+                   distractor_ids=[1])]
+        recs = join_vg_annotations(infos, vg)
+        assert len(recs) == 1 and recs[0]['target_rows'] == [0, 1]
