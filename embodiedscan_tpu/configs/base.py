@@ -62,6 +62,7 @@ class DataConfig:
     points_per_view: int = 10000
     image_hw: Sequence[int] = (480, 480)
     max_boxes: int = 200
+    max_occ_voxels: int = 16384
     repeat_times: int = 1
     synthetic: bool = False  # use the synthetic fixture instead of disk data
 
@@ -163,10 +164,30 @@ def cont_occ() -> Config:
     return cfg
 
 
+def mv_grounding_mini() -> Config:
+    """configs/grounding/mv-grounding_8xb12_embodiedscan-vg-9dof-mini.py:
+    the 20%-data warmup variant (README.md:218)."""
+    cfg = mv_grounding()
+    cfg.data.vg_file = 'embodiedscan_train_mini_vg.json'
+    cfg.work_dir = 'work_dirs/mv_grounding_mini'
+    return cfg
+
+
+def mv_grounding_complex() -> Config:
+    """mv-grounding ... complex-all variant: adds complex prompts
+    (README.md:229-230)."""
+    cfg = mv_grounding()
+    cfg.data.vg_file = 'embodiedscan_train_vg_complex_all.json'
+    cfg.work_dir = 'work_dirs/mv_grounding_complex'
+    return cfg
+
+
 PRESETS = {
     'mv_det3d': mv_det3d,
     'cont_det3d': cont_det3d,
     'mv_grounding': mv_grounding,
+    'mv_grounding_mini': mv_grounding_mini,
+    'mv_grounding_complex': mv_grounding_complex,
     'mv_occ': mv_occ,
     'cont_occ': cont_occ,
 }

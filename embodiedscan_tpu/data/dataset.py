@@ -63,6 +63,32 @@ def parse_scan(info: dict, data_root: str) -> dict:
                 occupancy_path=info.get('occupancy_path'))
 
 
+def load_occupancy_gt(scan: dict, data_root: str,
+                      max_voxels: int) -> tuple:
+    """Load sparse occupancy gt (N, 4) xyz+label from npy/pkl.
+
+    The reference stores per-scan occupancy as an (N, 4) array of voxel
+    coords + semantic label (LoadAnnotations3D with_occupancy,
+    datasets/transforms/loading.py); 0 is empty, labels are 1-based.
+    Returns a padded (max_voxels, 4) float array + mask.
+    """
+    path = scan.get('occupancy_path')
+    occ = np.zeros((0, 4), np.float32)
+    if path:
+        full = os.path.join(data_root, path)
+        if full.endswith('.npy') and os.path.exists(full):
+            occ = np.load(full).astype(np.float32)
+        elif os.path.exists(full):
+            with open(full, 'rb') as f:
+                occ = np.asarray(pickle.load(f), np.float32)
+    n = min(len(occ), max_voxels)
+    out = np.zeros((max_voxels, 4), np.float32)
+    mask = np.zeros(max_voxels, bool)
+    out[:n] = occ[:n]
+    mask[:n] = True
+    return out, mask
+
+
 def load_view(view: dict, depth_shift: float, image_hw) -> dict:
     """Load RGB + depth for one view, resize RGB, keep scaled intrinsics."""
     from PIL import Image
@@ -133,8 +159,14 @@ class EmbodiedScanLoader:
             points, boxes, rmat = pl.global_rot_scale_trans(
                 points, boxes, rng)
             aug = rmat @ fmat
-        return pl.pack_sample(points, np.stack(imgs), ks, exts, boxes,
-                              labels, aug, d.n_points, d.max_boxes, rng)
+        sample = pl.pack_sample(points, np.stack(imgs), ks, exts, boxes,
+                                labels, aug, d.n_points, d.max_boxes, rng)
+        if self.cfg.model.task in ('mv_occ', 'cont_occ'):
+            occ, occ_mask = load_occupancy_gt(scan, d.data_root,
+                                              d.max_occ_voxels)
+            sample['gt_occ'] = occ
+            sample['gt_occ_mask'] = occ_mask
+        return sample
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.infos))
