@@ -88,12 +88,16 @@ def run(scale: str):
                       fpn_capacities=(8192, 4096, 2048, 1024)),
     }
     cfg = cfgs[scale]
+    # experiment knobs (default = shipping config)
+    cfg['b'] = int(os.environ.get('BENCH_B', cfg['b']))
+    remat = os.environ.get('BENCH_REMAT', '0') == '1'
     model = SparseFusionDetector(
         num_classes=cfg['classes'],
         voxel_size=0.01,
         input_capacity=cfg['input_capacity'],
         backbone_capacities=cfg['backbone_capacities'],
-        fpn_capacities=cfg['fpn_capacities'])
+        fpn_capacities=cfg['fpn_capacities'],
+        remat=remat)
     batch = make_batch(cfg['b'], cfg['p'], cfg['v'], cfg['hw'], cfg['g'],
                        cfg['classes'])
     # jit the init: eager init dispatches thousands of individual ops,

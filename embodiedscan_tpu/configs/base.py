@@ -110,6 +110,13 @@ class Config:
     resume: str = ''  # '', 'auto', or a checkpoint step
     n_devices: int = 0  # 0 = all
     profile_dir: str = ''  # if set, capture a jax.profiler trace of steps 5-10
+    # in-loop visualization hook (reference EmbodiedScanBaseVisualizer /
+    # Det3DVisualizationHook wiring, base_visualizer.py:71-132): when set,
+    # evaluate() exports scene PLYs with predicted boxes every vis_interval
+    # scenes into vis_dir
+    vis_dir: str = ''
+    vis_interval: int = 50
+    vis_score_thr: float = 0.15
 
 
 def mv_det3d() -> Config:

@@ -52,3 +52,28 @@ def ground_eval(gt_annos: List[dict], det_annos: List[dict],
     for key in pred:
         ret[key] = pred[key] / max(cnt[key], 1)
     return ret
+
+
+def format_results(det_annos: List[dict], result_path: str,
+                   top_k: int = 20) -> str:
+    """Challenge-submission dump: top-20 boxes per sample to one json.
+
+    Mirrors the reference ``format_only`` branch
+    (eval/metrics/grounding_metric.py:168-186): the test phase evaluates
+    top-10, but submissions keep top-20.
+    """
+    import json
+    import os
+
+    results = []
+    for det in det_annos:
+        scores = np.asarray(det['scores'])
+        boxes = np.asarray(det['bboxes'], np.float32).reshape(-1, 9)
+        top = np.argsort(-scores)[:top_k]
+        results.append(dict(bboxes_3d=boxes[top].tolist(),
+                            scores_3d=scores[top].tolist()))
+    os.makedirs(result_path, exist_ok=True)
+    out = os.path.join(result_path, 'test_results.json')
+    with open(out, 'w') as f:
+        json.dump(results, f)
+    return out

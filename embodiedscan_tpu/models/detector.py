@@ -41,6 +41,10 @@ class SparseFusionDetector(nn.Module):
     resnet_depth: int = 50
     mink_depth: int = 34
     img_dtype: jnp.dtype = jnp.float32
+    # 'euler9d' (FCAF3DHeadRotMat), 'yaw7d' or 'aa6d' (reference FCAF3DHead)
+    bbox_mode: str = 'euler9d'
+    # rematerialize backbone stages in backward (memory for recompute)
+    remat: bool = False
 
     def setup(self):
         self.trunk = SparseFusionTrunk(
@@ -49,7 +53,8 @@ class SparseFusionDetector(nn.Module):
             backbone_capacities=tuple(self.backbone_capacities),
             resnet_depth=self.resnet_depth,
             mink_depth=self.mink_depth,
-            img_dtype=self.img_dtype)
+            img_dtype=self.img_dtype,
+            remat=self.remat)
         self.bbox_head = FCAF3DHead(
             num_classes=self.num_classes,
             in_channels=self.trunk.out_channels,
@@ -58,7 +63,8 @@ class SparseFusionDetector(nn.Module):
             fpn_capacities=tuple(self.fpn_capacities),
             nms_pre=self.nms_pre,
             max_candidates=self.max_candidates,
-            max_dets=self.max_dets)
+            max_dets=self.max_dets,
+            bbox_mode=self.bbox_mode)
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = True, mode: str = 'loss'):

@@ -21,7 +21,8 @@ from ..geometry.nms import nms3d
 from ..geometry.rotations import (matrix_to_euler_zxy, ortho_6d_to_matrix,
                                   rotation_3d_in_euler)
 from ..ops import sparse as S
-from .losses import bbox_cd_loss, bce_with_logits, sigmoid_focal_loss
+from .losses import (axis_aligned_iou_loss, bbox_cd_loss, bce_with_logits,
+                     rotated_iou_loss, sigmoid_focal_loss)
 from .norm import MaskedBatchNorm
 from .sparse_nn import SparseConv, bneighbor_table
 
@@ -58,6 +59,38 @@ def decode_bbox(points: jax.Array, reg: jax.Array) -> jax.Array:
     size = jnp.stack([reg[..., 0] + reg[..., 1], reg[..., 2] + reg[..., 3],
                       reg[..., 4] + reg[..., 5]], -1)
     return jnp.concatenate([center, size, euler], -1)
+
+
+def decode_bbox_mode(points: jax.Array, reg: jax.Array,
+                     mode: str) -> jax.Array:
+    """Mode-dispatched regression decode, always yielding (.., 9) euler boxes.
+
+    Mirrors the yaw-head ``FCAF3DHead._bbox_pred_to_bbox``
+    (fcaf3d_head.py:564-628): 'yaw7d' is 6 face distances + a z-axis angle,
+    'aa6d' is the axis-aligned 6-distance case; both embed into the 9-dim
+    euler layout (unused angles zero) so downstream NMS/eval are shared.
+    """
+    if mode == 'euler9d':
+        return decode_bbox(points, reg)
+    size = jnp.stack([reg[..., 0] + reg[..., 1], reg[..., 2] + reg[..., 3],
+                      reg[..., 4] + reg[..., 5]], -1)
+    shift = jnp.stack([(reg[..., 1] - reg[..., 0]) / 2,
+                       (reg[..., 3] - reg[..., 2]) / 2,
+                       (reg[..., 5] - reg[..., 4]) / 2], -1)
+    zeros = jnp.zeros_like(size[..., :1])
+    if mode == 'yaw7d':
+        alpha = reg[..., 6]
+        euler = jnp.concatenate([alpha[..., None], zeros, zeros], -1)
+        shift = rotation_3d_in_euler(shift[..., None, :], euler)[..., 0, :]
+    elif mode == 'aa6d':
+        euler = jnp.concatenate([zeros, zeros, zeros], -1)
+    else:
+        raise ValueError(f'unknown bbox_mode {mode}')
+    return jnp.concatenate([points + shift, size, euler], -1)
+
+
+# regression channel count per bbox_mode (reference num_reg_outs)
+REG_OUTS = {'euler9d': 12, 'yaw7d': 7, 'aa6d': 6}
 
 
 def assign_targets(points: jax.Array, levels: jax.Array, pmask: jax.Array,
@@ -133,7 +166,10 @@ class FCAF3DHead(nn.Module):
     num_classes: int
     in_channels: Sequence[int] = (128, 256, 512, 1024)
     out_channels: int = 128
-    num_reg_outs: int = 12
+    # 'euler9d' = reference FCAF3DHeadRotMat; 'yaw7d'/'aa6d' = the yaw-only /
+    # axis-aligned reference FCAF3DHead (fcaf3d_head.py:30-825) with
+    # rotated- / axis-aligned-IoU bbox losses
+    bbox_mode: str = 'euler9d'
     voxel_size: float = 0.01
     strides: Sequence[int] = (8, 16, 32, 64)
     fpn_capacities: Sequence[int] = (24576, 8192, 4096, 2048)
@@ -189,7 +225,8 @@ class FCAF3DHead(nn.Module):
         # (fcaf3d_head.py:975-994)
         conv_center = dense(1, name='conv_center', use_bias=False,
                             kernel_init=nn.initializers.normal(0.01))
-        conv_reg = dense(self.num_reg_outs, name='conv_reg', use_bias=False,
+        conv_reg = dense(REG_OUTS[self.bbox_mode], name='conv_reg',
+                         use_bias=False,
                          kernel_init=nn.initializers.normal(0.01))
         conv_cls = dense(
             self.num_classes, name='conv_cls',
@@ -272,7 +309,9 @@ class FCAF3DHead(nn.Module):
         # benign regression row for non-positive locations: unit distances +
         # identity 6D rotation, so decode_bbox never sees atan2(0, 0) (whose
         # gradient is NaN and would poison the masked chamfer sum)
-        benign = jnp.asarray([1.0] * 6 + [1, 0, 0, 0, 1, 0], reg.dtype)
+        benign_tail = {'euler9d': [1, 0, 0, 0, 1, 0], 'yaw7d': [0.0],
+                       'aa6d': []}[self.bbox_mode]
+        benign = jnp.asarray([1.0] * 6 + benign_tail, reg.dtype)
 
         def per_sample(cls_i, cls_t_i, pmask_i, center_i, center_t_i, reg_i,
                        pts_i, bbox_t_i, pos_i):
@@ -281,8 +320,22 @@ class FCAF3DHead(nn.Module):
             center_loss = bce_with_logits(center_i, center_t_i, pos_i,
                                           n_pos_avg)
             reg_safe = jnp.where(pos_i[:, None], reg_i, benign)
-            decoded = decode_bbox(pts_i, reg_safe)
-            if self.decouple_bbox_loss:
+            decoded = decode_bbox_mode(pts_i, reg_safe, self.bbox_mode)
+            if self.bbox_mode == 'yaw7d':
+                # reference yaw head with RotatedIoU3DLoss
+                # (fcaf3d_head.py:390-408); targets keep only the z angle
+                tgt = bbox_t_i.at[:, 7:9].set(0.0)
+                bbox_loss = rotated_iou_loss(decoded, tgt, pos_i)
+            elif self.bbox_mode == 'aa6d':
+                # AxisAlignedIoULoss on corner format (_bbox_to_loss :543)
+                p_c = jnp.concatenate([
+                    decoded[:, :3] - decoded[:, 3:6] / 2,
+                    decoded[:, :3] + decoded[:, 3:6] / 2], -1)
+                t_c = jnp.concatenate([
+                    bbox_t_i[:, :3] - bbox_t_i[:, 3:6] / 2,
+                    bbox_t_i[:, :3] + bbox_t_i[:, 3:6] / 2], -1)
+                bbox_loss = axis_aligned_iou_loss(p_c, t_c, pos_i)
+            elif self.decouple_bbox_loss:
                 groups = [
                     jnp.concatenate([decoded[:, :3], bbox_t_i[:, 3:]], -1),
                     jnp.concatenate([bbox_t_i[:, :3], decoded[:, 3:6],
@@ -331,7 +384,8 @@ class FCAF3DHead(nn.Module):
                 scores = jnp.where(m[:, None], scores, 0)
                 k = min(self.nms_pre, scores.shape[0])
                 top = jax.lax.top_k(jnp.max(scores, -1), k)[1]
-                lvl_boxes.append(decode_bbox(pt[top], reg[top]))
+                lvl_boxes.append(decode_bbox_mode(pt[top], reg[top],
+                                                  self.bbox_mode))
                 lvl_scores.append(scores[top])
                 lvl_masks.append(m[top])
             boxes = jnp.concatenate(lvl_boxes)  # (T, 9)

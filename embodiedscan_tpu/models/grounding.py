@@ -219,17 +219,8 @@ class GroundingOutputs(NamedTuple):
     query_mask: jax.Array  # (B, Q)
 
 
-def _binary_focal_cost(logits, pos_maps, token_mask, alpha=0.25, gamma=2.0,
-                       eps=1e-12):
-    """(Q, T) logits x (G, T) maps -> (Q, G) cost (match_cost.py:214-265)."""
-    p = jax.nn.sigmoid(logits)
-    neg = -jnp.log(1 - p + eps) * (1 - alpha) * jnp.power(p, gamma)
-    pos = -jnp.log(p + eps) * alpha * jnp.power(1 - p, gamma)
-    tm = token_mask.astype(logits.dtype)
-    pos = pos * tm[None, :]
-    neg = neg * tm[None, :]
-    return jnp.einsum('qt,gt->qg', pos, pos_maps) + \
-        jnp.einsum('qt,gt->qg', neg, (1 - pos_maps) * tm[None, :])
+# token-map focal cost, shared with the standalone cost library
+from .match_costs import binary_focal_cost as _binary_focal_cost  # noqa: E402
 
 
 class SparseFusionGrounder(nn.Module):
@@ -323,12 +314,11 @@ class SparseFusionGrounder(nn.Module):
         """One decoder layer's loss over the batch (grounding_head.py:686)."""
 
         def assign(cls_i, boxes_i, qm_i, tm_i, maps_i, gt_i, gm_i):
+            from .match_costs import bbox3d_l1_cost, iou3d_cost
             cost_cls = _binary_focal_cost(cls_i[:, :tm_i.shape[0]], maps_i,
                                           tm_i)
-            cost_l1 = jnp.sum(
-                jnp.abs(boxes_i[:, None, :] - gt_i[None, :, :]), -1)
-            from ..geometry.iou import boxes3d_iou
-            cost_iou = -boxes3d_iou(boxes_i, gt_i)
+            cost_l1 = bbox3d_l1_cost(boxes_i, gt_i)
+            cost_iou = iou3d_cost(boxes_i, gt_i)
             cost = (self.cost_cls_weight * cost_cls +
                     self.cost_l1_weight * cost_l1 +
                     self.cost_iou_weight * cost_iou)

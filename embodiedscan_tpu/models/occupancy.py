@@ -249,17 +249,21 @@ class DenseFusionOccPredictor(nn.Module):
             self.n_voxels[0] / 64
 
     def _prior_points(self):
-        """Aligned voxel-center grid (anchor_3d_generator grid_anchors)."""
-        r = self.prior_range
+        """Aligned voxel-center grid via the anchor generator API.
+
+        Mirrors ``prior_generator.grid_anchors([n_voxels[::-1]])[:, :3]``
+        (embodied_occ.py:155-160) with the x-major flattening this model's
+        volume reshape uses (the reference flattens z-major and permutes —
+        same grid, different traversal order).
+        """
+        from .anchors import AlignedAnchor3DRangeGenerator
         nx, ny, nz = self.n_voxels
-        xs = np.linspace(r[0], r[3], nx, endpoint=False) + \
-            (r[3] - r[0]) / nx / 2
-        ys = np.linspace(r[1], r[4], ny, endpoint=False) + \
-            (r[4] - r[1]) / ny / 2
-        zs = np.linspace(r[2], r[5], nz, endpoint=False) + \
-            (r[5] - r[2]) / nz / 2
-        gx, gy, gz = np.meshgrid(xs, ys, zs, indexing='ij')
-        pts = np.stack([gx, gy, gz], -1).reshape(-1, 3).astype(np.float32)
+        gen = AlignedAnchor3DRangeGenerator(
+            ranges=[list(self.prior_range)], sizes=[[1.0, 1.0, 1.0]],
+            rotations=[0.0], reshape_out=False)
+        a = gen.single_level_grid_anchors((nz, ny, nx), 1)  # (Z,Y,X,1,1,7)
+        pts = a[..., 0, 0, :3].transpose(2, 1, 0, 3).reshape(-1, 3)
+        pts = pts.astype(np.float32)
         return jnp.asarray(pts + np.asarray(self.prior_origin, np.float32))
 
     @nn.compact

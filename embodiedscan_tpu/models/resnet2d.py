@@ -77,6 +77,11 @@ class ResNet(nn.Module):
     base_channels: int = 16
     out_indices: Sequence[int] = (0, 1, 2, 3)
     dtype: jnp.dtype = jnp.float32
+    # rematerialize each residual block's activations in the backward pass
+    # (jax.checkpoint): trades recompute FLOPs for HBM, unlocking larger
+    # batch x view products. Explicit block names keep the param tree
+    # identical with remat on or off.
+    remat: bool = False
 
     arch = {
         18: (BasicBlock2d, (2, 2, 2, 2)),
@@ -88,6 +93,8 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
         block, stage_blocks = self.arch[self.depth]
+        if self.remat:
+            block = nn.remat(block)
         x = nn.Conv(self.base_channels, (7, 7), strides=(2, 2), padding=3,
                     use_bias=False, dtype=self.dtype, name='stem_conv')(x)
         x = FrozenBatchNorm(name='stem_bn')(x)

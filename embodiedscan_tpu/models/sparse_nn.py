@@ -84,59 +84,165 @@ class SparseBasicBlock(nn.Module):
         return jnp.where(mask[..., None], out, 0)
 
 
+class SparseBottleneck(nn.Module):
+    """ME ResNet Bottleneck: 1x1-BN-ReLU, conv3-BN-ReLU, 1x1x4-BN + id, ReLU.
+
+    Mirrors MinkowskiEngine ``resnet_block.Bottleneck`` (expansion 4); 1x1
+    sparse convs are pointwise, so they lower to masked Dense (one matmul).
+    """
+
+    features: int  # planes; output channels are 4 * planes
+
+    @nn.compact
+    def __call__(self, feats, mask, nbr, train: bool):
+        from .norm import MaskedBatchNorm
+        identity = feats
+        out = nn.Dense(self.features, use_bias=False, kernel_init=kaiming_out,
+                       name='conv1')(feats)
+        out = MaskedBatchNorm()(out, mask, use_running_average=not train)
+        out = nn.relu(out)
+        out = SparseConv(self.features)(out, mask, nbr)
+        out = MaskedBatchNorm()(out, mask, use_running_average=not train)
+        out = nn.relu(out)
+        out = nn.Dense(self.features * 4, use_bias=False,
+                       kernel_init=kaiming_out, name='conv3')(out)
+        out = MaskedBatchNorm()(out, mask, use_running_average=not train)
+        out = nn.relu(out + identity)
+        return jnp.where(mask[..., None], out, 0)
+
+
 class SparseStage(nn.Module):
-    """One MinkResNet stage: strided block then ``blocks - 1`` submanifold ones."""
+    """One MinkResNet stage: strided block then ``blocks - 1`` submanifold ones.
+
+    ``block='basic'`` matches ME BasicBlock stages (depths 18/34);
+    ``block='bottleneck'`` matches ME Bottleneck stages (depths 50/101/152),
+    where the stride sits on the middle 3x3 conv and the stage output has
+    ``4 * features`` channels.
+    """
 
     features: int
     blocks: int
     capacity: int
+    block: str = 'basic'
 
     @nn.compact
     def __call__(self, st: S.SparseTensor, train: bool) -> S.SparseTensor:
         from .norm import MaskedBatchNorm
+        expansion = 1 if self.block == 'basic' else 4
+        cout = self.features * expansion
         dmap = bdownsample(st, self.capacity)
-        s_nbr = strided_queries(st, dmap, S.OFFSETS_3)
-        out = SparseConv(self.features)(st.feats, st.mask, s_nbr,
-                                        out_mask=dmap.mask)
-        out = MaskedBatchNorm()(out, dmap.mask, use_running_average=not train)
-        out = nn.relu(out)
         nbr = bneighbor_table(S.SparseTensor(dmap.coords, None, dmap.mask),
                               S.OFFSETS_3)
-        out = SparseConv(self.features)(out, dmap.mask, nbr)
-        out = MaskedBatchNorm()(out, dmap.mask, use_running_average=not train)
+        if self.block == 'basic':
+            s_nbr = strided_queries(st, dmap, S.OFFSETS_3)
+            out = SparseConv(self.features)(st.feats, st.mask, s_nbr,
+                                            out_mask=dmap.mask)
+            out = MaskedBatchNorm()(out, dmap.mask,
+                                    use_running_average=not train)
+            out = nn.relu(out)
+            out = SparseConv(self.features)(out, dmap.mask, nbr)
+            out = MaskedBatchNorm()(out, dmap.mask,
+                                    use_running_average=not train)
+        else:
+            # bottleneck: 1x1 (input lattice) -> strided 3x3 -> 1x1 expand
+            out = nn.Dense(self.features, use_bias=False,
+                           kernel_init=kaiming_out, name='b0_conv1')(st.feats)
+            out = MaskedBatchNorm()(out, st.mask,
+                                    use_running_average=not train)
+            out = nn.relu(jnp.where(st.mask[..., None], out, 0))
+            s_nbr = strided_queries(st, dmap, S.OFFSETS_3)
+            out = SparseConv(self.features)(out, st.mask, s_nbr,
+                                            out_mask=dmap.mask)
+            out = MaskedBatchNorm()(out, dmap.mask,
+                                    use_running_average=not train)
+            out = nn.relu(out)
+            out = nn.Dense(cout, use_bias=False, kernel_init=kaiming_out,
+                           name='b0_conv3')(out)
+            out = MaskedBatchNorm()(out, dmap.mask,
+                                    use_running_average=not train)
         # downsample branch: 1x1 stride-2 conv + BN (inverse-map, no sort)
         d_nbr = jax.vmap(S.center_child_index)(st, dmap)
-        down = SparseConv(self.features, kernel_size=1)(st.feats, st.mask,
-                                                        d_nbr,
-                                                        out_mask=dmap.mask)
+        down = SparseConv(cout, kernel_size=1)(st.feats, st.mask, d_nbr,
+                                               out_mask=dmap.mask)
         down = MaskedBatchNorm()(down, dmap.mask, use_running_average=not train)
         feats = nn.relu(out + down)
         feats = jnp.where(dmap.mask[..., None], feats, 0)
         for _ in range(self.blocks - 1):
-            feats = SparseBasicBlock(self.features)(feats, dmap.mask, nbr,
-                                                    train)
+            if self.block == 'basic':
+                feats = SparseBasicBlock(self.features)(feats, dmap.mask, nbr,
+                                                        train)
+            else:
+                feats = SparseBottleneck(self.features)(feats, dmap.mask, nbr,
+                                                        train)
         return S.SparseTensor(dmap.coords, feats, dmap.mask)
+
+
+class ChannelMapper(nn.Module):
+    """Per-level channel unification over sparse tensors.
+
+    Rebuild of the reference's ME ``ChannelMapper``
+    (``embodiedscan/models/necks/channel_mapper.py:19-94``): one
+    conv(kernel_size)-BN-ELU block per input level. ``kernel_size=1`` lowers
+    to a masked Dense (pointwise matmul); ``kernel_size=3`` gathers the
+    27-neighborhood.
+    """
+
+    out_channels: int
+    kernel_size: int = 1
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[S.SparseTensor],
+                 train: bool = True) -> Tuple[S.SparseTensor, ...]:
+        from .norm import MaskedBatchNorm
+        outs = []
+        for i, st in enumerate(inputs):
+            if self.kernel_size == 1:
+                f = nn.Dense(self.out_channels, use_bias=False,
+                             kernel_init=kaiming_out,
+                             name=f'conv_{i}')(st.feats)
+            else:
+                nbr = bneighbor_table(st, S.OFFSETS_3)
+                f = SparseConv(self.out_channels, name=f'conv_{i}')(
+                    st.feats, st.mask, nbr)
+            f = MaskedBatchNorm(name=f'bn_{i}')(
+                f, st.mask, use_running_average=not train)
+            f = nn.elu(f)
+            outs.append(S.SparseTensor(st.coords,
+                                       jnp.where(st.mask[..., None], f, 0),
+                                       st.mask))
+        return tuple(outs)
 
 
 class MinkResNet(nn.Module):
     """Sparse 3D ResNet backbone (reference mink_resnet.py:21-143).
 
     Args:
-        depth: 18 or 34 (BasicBlock variants; the reference detection configs
-            use 34 — configs/detection/mv-det3d...py:36).
+        depth: one of {18, 34, 50, 101, 152}; BasicBlock for 18/34 (the
+            reference detection configs use 34 — configs/detection/
+            mv-det3d...py:36), Bottleneck (x4 channels) for 50/101/152.
         capacities: static voxel capacities for (stem, pool, stage1..4).
+        num_stages / pool: reference MinkResNet knobs (mink_resnet.py:43-55).
     """
 
     depth: int = 34
     capacities: Sequence[int] = (65536, 32768, 24576, 8192, 4096, 2048)
+    num_stages: int = 4
+    pool: bool = True
+    # jax.checkpoint each stage in the backward pass (HBM for recompute);
+    # explicit stage names keep the param tree identical either way
+    remat: bool = False
 
-    arch = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}
+    arch = {18: ('basic', (2, 2, 2, 2)), 34: ('basic', (3, 4, 6, 3)),
+            50: ('bottleneck', (3, 4, 6, 3)),
+            101: ('bottleneck', (3, 4, 23, 3)),
+            152: ('bottleneck', (3, 8, 36, 3))}
 
     @nn.compact
     def __call__(self, st: S.SparseTensor,
                  train: bool = True) -> Tuple[S.SparseTensor, ...]:
         from .norm import MaskedInstanceNorm
-        stage_blocks = self.arch[self.depth]
+        block, stage_blocks = self.arch[self.depth]
+        stage_blocks = stage_blocks[:self.num_stages]
         # stem: conv3 stride 2 -> InstanceNorm -> ReLU -> maxpool2
         dmap = bdownsample(st, self.capacities[0])
         s_nbr = strided_queries(st, dmap, S.OFFSETS_3)
@@ -144,11 +250,15 @@ class MinkResNet(nn.Module):
         feats = MaskedInstanceNorm()(feats, dmap.mask)
         feats = nn.relu(feats)
         x = S.SparseTensor(dmap.coords, feats, dmap.mask)
-        pmap = bdownsample(x, self.capacities[1])
-        x = jax.vmap(S.maxpool2)(x, pmap)
+        if self.pool:
+            pmap = bdownsample(x, self.capacities[1])
+            x = jax.vmap(S.maxpool2)(x, pmap)
 
+        stage_cls = nn.remat(SparseStage, static_argnums=(2,)) \
+            if self.remat else SparseStage
         outs = []
         for i, blocks in enumerate(stage_blocks):
-            x = SparseStage(64 * 2**i, blocks, self.capacities[2 + i])(x, train)
+            x = stage_cls(64 * 2**i, blocks, self.capacities[2 + i],
+                          block=block, name=f'SparseStage_{i}')(x, train)
             outs.append(x)
         return tuple(outs)

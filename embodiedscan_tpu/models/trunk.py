@@ -17,7 +17,12 @@ from .resnet2d import ResNet
 from .sparse_nn import MinkResNet
 
 STRIDES = (8, 16, 32, 64)
-CH3D = (64, 128, 256, 512)
+
+
+def mink_channels(depth: int) -> tuple:
+    """Per-stage output channels of MinkResNet (x4 for Bottleneck depths)."""
+    expansion = 4 if depth >= 50 else 1
+    return tuple(64 * 2**i * expansion for i in range(4))
 
 
 def resnet2d_channels(depth: int) -> tuple:
@@ -35,11 +40,13 @@ class SparseFusionTrunk(nn.Module):
     resnet_depth: int = 50
     mink_depth: int = 34
     img_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @property
     def out_channels(self) -> tuple:
         ch2d = resnet2d_channels(self.resnet_depth)
-        return tuple(c3 + c2 for c3, c2 in zip(CH3D, ch2d))
+        return tuple(c3 + c2
+                     for c3, c2 in zip(mink_channels(self.mink_depth), ch2d))
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = True):
@@ -50,13 +57,14 @@ class SparseFusionTrunk(nn.Module):
         st = jax.vmap(S.from_points, in_axes=(0, 0, 0, None, None))(
             pts, pts, pmask, self.voxel_size, self.input_capacity)
         levels = MinkResNet(depth=self.mink_depth,
-                            capacities=tuple(self.backbone_capacities))(
-                                st, train=train)
+                            capacities=tuple(self.backbone_capacities),
+                            remat=self.remat)(st, train=train)
 
         imgs = batch['imgs'].astype(self.img_dtype)
         b, v, h, w, _ = imgs.shape
         feats2d = ResNet(depth=self.resnet_depth, base_channels=16,
-                         dtype=self.img_dtype)(imgs.reshape(b * v, h, w, 3))
+                         dtype=self.img_dtype,
+                         remat=self.remat)(imgs.reshape(b * v, h, w, 3))
         fused = []
         for i, lvl in enumerate(levels):
             f2d = feats2d[i]

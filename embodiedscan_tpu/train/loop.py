@@ -151,9 +151,39 @@ def train(cfg: Config, max_steps: int | None = None):
     return state
 
 
+def _vis_hook(cfg: Config, batch, preds, i: int, n: int):
+    """In-loop visualization (reference base_visualizer.py:71-132).
+
+    Exports the scene cloud + score-filtered predicted boxes as a PLY; a
+    process-rank guard is unnecessary here (eval drives one host process).
+    """
+    import os
+
+    from ..vis.visualization import export_scene_ply
+    pm = np.asarray(batch['points_mask'][i])
+    pts = np.asarray(batch['points'][i])[pm]
+    if 'mask' in preds:
+        keep = (np.asarray(preds['mask'][i]) &
+                (np.asarray(preds['scores'][i]) > cfg.vis_score_thr))
+        boxes = np.asarray(preds['bboxes'][i])[keep]
+        labels = np.asarray(preds['labels'][i])[keep] \
+            if 'labels' in preds else None
+    else:
+        boxes, labels = None, None
+    os.makedirs(cfg.vis_dir, exist_ok=True)
+    export_scene_ply(os.path.join(cfg.vis_dir, f'scene_{n:05d}.ply'), pts,
+                     boxes=boxes, labels=labels)
+
+
 def evaluate(cfg: Config, state: TrainState | None = None,
-             max_scenes: int | None = None) -> dict:
-    """Run the task's eval protocol over the val split."""
+             max_scenes: int | None = None,
+             format_only: bool = False) -> dict:
+    """Run the task's eval protocol over the val split.
+
+    ``format_only`` (grounding): skip metrics and dump the top-20
+    challenge-submission json into ``cfg.work_dir`` instead
+    (reference grounding_metric.py:168-186).
+    """
     loader = make_dataset(cfg, train=False)
     first = next(iter(loader))
     model, variables = init_model(cfg, first)
@@ -216,10 +246,18 @@ def evaluate(cfg: Config, state: TrainState | None = None,
                     jnp.asarray(batch['gt_occ_mask'][i]), 1,
                     tuple(cfg.model.n_voxels))
                 gts.append(np.asarray(tgt))
+            if cfg.vis_dir and n % cfg.vis_interval == 0 and \
+                    cfg.model.task != 'mv_occ':
+                _vis_hook(cfg, batch, preds, i, n)
             n += 1
         if max_scenes is not None and n >= max_scenes:
             break
 
+    if format_only and cfg.model.task == 'mv_grounding':
+        from ..eval.grounding_metric import format_results
+        out = format_results(dts, cfg.work_dir)
+        log.info('submission dump written to %s', out)
+        return {'result_file': out}
     if cfg.model.task in ('mv_det3d', 'cont_det3d'):
         from ..eval.indoor_eval import indoor_eval
         return indoor_eval(gts, dts, (0.25, 0.5), verbose=True)

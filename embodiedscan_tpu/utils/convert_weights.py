@@ -129,3 +129,198 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     ckpt = torch.load(path, map_location='cpu', weights_only=False)
     sd = ckpt.get('state_dict', ckpt)
     return {k: v.numpy() for k, v in sd.items() if hasattr(v, 'numpy')}
+
+
+# ---------------------------------------------------------------------------
+# Reference EmbodiedScan checkpoint conversion: MinkowskiEngine backbone
+# ---------------------------------------------------------------------------
+
+def me_kernel_permutation(kernel_size: int = 3, flip: bool = False):
+    """Permutation mapping ME kernel rows onto our offset order.
+
+    MinkowskiEngine enumerates its hypercube kernel region odometer-style
+    with dimension 0 varying fastest (offsets -(k//2)..k//2 per axis for odd
+    k, 0..k-1 for the generative transposed conv's even k), while this
+    framework's ``OFFSETS_3``/``OFFSETS_2`` vary z fastest (ops/sparse.py:31).
+    Returns ``perm`` such that ``ours[i] = me[perm[i]]``.
+
+    Args:
+        kernel_size: 3 (27-point conv), 2 (8-point transposed), or 1.
+        flip: negate offsets (for conventions that gather at ``u - off``).
+    """
+    if kernel_size == 1:
+        return np.array([0])
+    if kernel_size == 3:
+        rng = (-1, 0, 1)
+        ours = [(dx, dy, dz) for dx in rng for dy in rng for dz in rng]
+        me = [(dx, dy, dz) for dz in rng for dy in rng for dx in rng]
+    elif kernel_size == 2:
+        rng = (0, 1)
+        ours = [(dx, dy, dz) for dx in rng for dy in rng for dz in rng]
+        me = [(dx, dy, dz) for dz in rng for dy in rng for dx in rng]
+    else:
+        raise ValueError(f'unsupported kernel_size {kernel_size}')
+    if flip:
+        lo, hi = min(rng), max(rng)
+        me = [tuple(lo + hi - o for o in off) for off in me]
+    index = {off: i for i, off in enumerate(me)}
+    return np.array([index[off] for off in ours])
+
+
+def _me_kernel(w, flip=False):
+    """ME conv kernel (K, Cin, Cout) -> our row order.
+
+    ME stores kernel-volume-1 convolutions as plain (Cin, Cout) matrices;
+    those map to our (1, Cin, Cout) layout unpermuted.
+    """
+    w = np.asarray(w)
+    if w.ndim == 2:
+        return w[None]
+    k = {27: 3, 8: 2, 1: 1}[w.shape[0]]
+    return w[me_kernel_permutation(k, flip)]
+
+
+def _me_pointwise(w):
+    """ME 1x1 kernel -> (Cin, Cout) dense matrix for our pointwise Dense."""
+    w = np.asarray(w)
+    return w[0] if w.ndim == 3 else w
+
+
+def convert_mink_resnet(state_dict: Dict[str, np.ndarray], depth: int = 34,
+                        prefix: str = 'backbone_3d.', flip: bool = False):
+    """Reference MinkResNet weights -> (params, batch_stats) flax trees.
+
+    Maps ME module names (``mink_resnet.py:58-74``: conv1/norm1 stem,
+    ``layer{i}.{j}.conv{1,2}[,3]``/``norm{1,2}[,3]``/``downsample``) onto our
+    ``MinkResNet`` tree (stem ``SparseConv_0``/``MaskedInstanceNorm_0``,
+    stages ``SparseStage_{i}`` with ``SparseConv_{0,1,2}``/
+    ``MaskedBatchNorm_{0,1,2}`` for the strided block and
+    ``SparseBasicBlock_{j}``/``SparseBottleneck_{j}`` for the rest), applying
+    the ME kernel-offset permutation to every (K, Cin, Cout) kernel.
+
+    BatchNorm keys accept both ``norm.bn.*`` (MinkowskiBatchNorm wraps
+    nn.BatchNorm1d) and plain ``norm.*`` layouts.
+    """
+    n_blocks = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
+                101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}[depth]
+    bottleneck = depth >= 50
+    sd = {k[len(prefix):]: np.asarray(v) for k, v in state_dict.items()
+          if k.startswith(prefix)}
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(value)
+
+    def bn_get(name, field):
+        for key in (f'{name}.bn.{field}', f'{name}.{field}'):
+            if key in sd:
+                return sd[key]
+        raise KeyError(f'{prefix}{name}.{field} not in state dict')
+
+    def put_bn(dst_path, src_name):
+        put(params, dst_path + ('scale',), bn_get(src_name, 'weight'))
+        put(params, dst_path + ('bias',), bn_get(src_name, 'bias'))
+        put(stats, dst_path + ('mean',), bn_get(src_name, 'running_mean'))
+        put(stats, dst_path + ('var',), bn_get(src_name, 'running_var'))
+
+    # stem: ME conv1 + MinkowskiInstanceNorm norm1
+    put(params, ('SparseConv_0', 'kernel'), _me_kernel(sd['conv1.kernel'],
+                                                       flip))
+    for key in ('norm1.inst_norm.weight', 'norm1.weight'):
+        if key in sd:
+            put(params, ('MaskedInstanceNorm_0', 'scale'), sd[key])
+            put(params, ('MaskedInstanceNorm_0', 'bias'),
+                sd[key.replace('weight', 'bias')])
+            break
+
+    for i, blocks in enumerate(n_blocks):
+        stage = f'SparseStage_{i}'
+        src0 = f'layer{i + 1}.0'
+        if bottleneck:
+            # b0_conv1 (1x1 Dense), strided conv2, b0_conv3 (1x1 Dense)
+            put(params, (stage, 'b0_conv1', 'kernel'),
+                _me_pointwise(sd[f'{src0}.conv1.kernel']))
+            put_bn((stage, 'MaskedBatchNorm_0'), f'{src0}.norm1')
+            put(params, (stage, 'SparseConv_0', 'kernel'),
+                _me_kernel(sd[f'{src0}.conv2.kernel'], flip))
+            put_bn((stage, 'MaskedBatchNorm_1'), f'{src0}.norm2')
+            put(params, (stage, 'b0_conv3', 'kernel'),
+                _me_pointwise(sd[f'{src0}.conv3.kernel']))
+            put_bn((stage, 'MaskedBatchNorm_2'), f'{src0}.norm3')
+            put(params, (stage, 'SparseConv_1', 'kernel'),
+                _me_kernel(sd[f'{src0}.downsample.0.kernel'], flip))
+            put_bn((stage, 'MaskedBatchNorm_3'), f'{src0}.downsample.1')
+        else:
+            put(params, (stage, 'SparseConv_0', 'kernel'),
+                _me_kernel(sd[f'{src0}.conv1.kernel'], flip))
+            put_bn((stage, 'MaskedBatchNorm_0'), f'{src0}.norm1')
+            put(params, (stage, 'SparseConv_1', 'kernel'),
+                _me_kernel(sd[f'{src0}.conv2.kernel'], flip))
+            put_bn((stage, 'MaskedBatchNorm_1'), f'{src0}.norm2')
+            put(params, (stage, 'SparseConv_2', 'kernel'),
+                _me_kernel(sd[f'{src0}.downsample.0.kernel'], flip))
+            put_bn((stage, 'MaskedBatchNorm_2'), f'{src0}.downsample.1')
+        block_name = 'SparseBottleneck' if bottleneck else 'SparseBasicBlock'
+        for j in range(1, blocks):
+            src = f'layer{i + 1}.{j}'
+            dst = (stage, f'{block_name}_{j - 1}')
+            if bottleneck:
+                put(params, dst + ('conv1', 'kernel'),
+                    _me_pointwise(sd[f'{src}.conv1.kernel']))
+                put_bn(dst + ('MaskedBatchNorm_0',), f'{src}.norm1')
+                put(params, dst + ('SparseConv_0', 'kernel'),
+                    _me_kernel(sd[f'{src}.conv2.kernel'], flip))
+                put_bn(dst + ('MaskedBatchNorm_1',), f'{src}.norm2')
+                put(params, dst + ('conv3', 'kernel'),
+                    _me_pointwise(sd[f'{src}.conv3.kernel']))
+                put_bn(dst + ('MaskedBatchNorm_2',), f'{src}.norm3')
+            else:
+                put(params, dst + ('SparseConv_0', 'kernel'),
+                    _me_kernel(sd[f'{src}.conv1.kernel'], flip))
+                put_bn(dst + ('MaskedBatchNorm_0',), f'{src}.norm1')
+                put(params, dst + ('SparseConv_1', 'kernel'),
+                    _me_kernel(sd[f'{src}.conv2.kernel'], flip))
+                put_bn(dst + ('MaskedBatchNorm_1',), f'{src}.norm2')
+    return params, stats
+
+
+def load_mink_resnet_into_variables(variables, torch_state_dict, depth=34,
+                                    prefix=('trunk', 'MinkResNet_0'),
+                                    src_prefix='backbone_3d.', flip=False):
+    """Merge converted reference MinkResNet weights into model variables.
+
+    Same skip-on-mismatch semantics as :func:`load_resnet_into_variables`.
+    """
+    import flax
+    params, stats = convert_mink_resnet(torch_state_dict, depth,
+                                        prefix=src_prefix, flip=flip)
+    var = flax.core.unfreeze(variables)
+    skipped, loaded = [], 0
+
+    def merge(dst, src, path):
+        nonlocal loaded
+        for k, v in src.items():
+            if isinstance(v, dict):
+                if k in dst:
+                    merge(dst[k], v, path + (k,))
+                else:
+                    skipped.append('/'.join(path + (k,)))
+            else:
+                if k in dst and tuple(dst[k].shape) == tuple(v.shape):
+                    dst[k] = v.astype(np.float32)
+                    loaded += 1
+                else:
+                    skipped.append('/'.join(path + (k,)))
+
+    node_p = var['params']
+    node_s = var['batch_stats']
+    for p in prefix:
+        node_p = node_p.get(p, {})
+        node_s = node_s.get(p, {})
+    merge(node_p, params, prefix)
+    merge(node_s, stats, prefix)
+    return var, loaded, skipped

@@ -104,3 +104,84 @@ class TestConvert:
             variables, sd, depth=18, prefix=())
         assert loaded == 0
         assert len(skipped) > 50
+
+
+class TestMinkResNetConversion:
+    """ME-layout checkpoint -> our MinkResNet tree (SURVEY §2b gap 1)."""
+
+    def _fake_me_sd(self, depth=18, in_ch=3):
+        """Synthetic reference state dict with ME shapes/names."""
+        rng = np.random.RandomState(0)
+        n_blocks = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}[depth]
+        sd = {}
+        sd['backbone_3d.conv1.kernel'] = rng.randn(27, in_ch, 64)
+        sd['backbone_3d.norm1.inst_norm.weight'] = rng.randn(64)
+        sd['backbone_3d.norm1.inst_norm.bias'] = rng.randn(64)
+        inp = 64
+        for i, blocks in enumerate(n_blocks):
+            planes = 64 * 2**i
+            for j in range(blocks):
+                p = f'backbone_3d.layer{i + 1}.{j}'
+                cin = inp if j == 0 else planes
+                sd[f'{p}.conv1.kernel'] = rng.randn(27, cin, planes)
+                sd[f'{p}.conv2.kernel'] = rng.randn(27, planes, planes)
+                for n in (1, 2):
+                    sd[f'{p}.norm{n}.bn.weight'] = rng.randn(planes)
+                    sd[f'{p}.norm{n}.bn.bias'] = rng.randn(planes)
+                    sd[f'{p}.norm{n}.bn.running_mean'] = rng.randn(planes)
+                    sd[f'{p}.norm{n}.bn.running_var'] = np.abs(
+                        rng.randn(planes)) + 0.5
+                if j == 0:
+                    sd[f'{p}.downsample.0.kernel'] = rng.randn(cin, planes)
+                    sd[f'{p}.downsample.1.bn.weight'] = rng.randn(planes)
+                    sd[f'{p}.downsample.1.bn.bias'] = rng.randn(planes)
+                    sd[f'{p}.downsample.1.bn.running_mean'] = rng.randn(planes)
+                    sd[f'{p}.downsample.1.bn.running_var'] = np.abs(
+                        rng.randn(planes)) + 0.5
+            inp = planes
+        return sd
+
+    def test_kernel_permutation_props(self):
+        from embodiedscan_tpu.utils.convert_weights import \
+            me_kernel_permutation
+        for k, n in ((3, 27), (2, 8)):
+            perm = me_kernel_permutation(k)
+            assert sorted(perm) == list(range(n))
+        # center offset is a fixed point of the odd-kernel permutation
+        assert me_kernel_permutation(3)[13] == 13
+        # x-fastest vs z-fastest: our index 0 = (-1,-1,-1) = ME index 0,
+        # our index 1 = (-1,-1,0) = ME offset (z=0 -> me idx 9)
+        assert me_kernel_permutation(3)[0] == 0
+        assert me_kernel_permutation(3)[1] == 9
+
+    def test_loads_into_model(self):
+        import jax
+        import jax.numpy as jnp
+
+        from embodiedscan_tpu.models.sparse_nn import MinkResNet
+        from embodiedscan_tpu.ops import sparse as S
+        from embodiedscan_tpu.utils.convert_weights import \
+            load_mink_resnet_into_variables
+        rng = np.random.RandomState(1)
+        coords = jnp.asarray(rng.randint(0, 32, (1, 64, 3)), jnp.int32)
+        st = S.SparseTensor(coords,
+                            jnp.asarray(rng.randn(1, 64, 3),
+                                        jnp.float32),
+                            jnp.ones((1, 64), bool))
+        model = MinkResNet(depth=18, capacities=(64, 64, 64, 32, 16, 8))
+        variables = jax.jit(lambda r: model.init(r, st, train=False))(
+            jax.random.PRNGKey(0))
+        sd = self._fake_me_sd(depth=18)
+        var, loaded, skipped = load_mink_resnet_into_variables(
+            variables, sd, depth=18, prefix=())
+        assert not skipped, skipped[:5]
+        # every param + stat leaf covered
+        n_leaves = len(jax.tree_util.tree_leaves(variables))
+        assert loaded == n_leaves
+        # kernel rows permuted per the documented map: our row 1 = ME row 9
+        got = var['params']['SparseConv_0']['kernel']
+        np.testing.assert_allclose(
+            got[1], sd['backbone_3d.conv1.kernel'][9])
+        # converted weights still run
+        out = model.apply(var, st, train=False)
+        assert all(np.isfinite(np.asarray(o.feats)).all() for o in out)

@@ -94,3 +94,70 @@ class TestDetector:
         assert preds['labels'].shape == (2, 16)
         assert preds['mask'].shape == (2, 16)
         assert np.isfinite(np.asarray(preds['bboxes'])).all()
+
+
+class TestYawHead:
+    """The 7-DoF yaw head (reference FCAF3DHead, fcaf3d_head.py:30-825)."""
+
+    @pytest.fixture(scope='class')
+    def setup(self):
+        rng = np.random.RandomState(1)
+        batch = tiny_batch(rng)
+        # yaw-only GT: zero the beta/gamma angles
+        batch['gt_boxes'] = batch['gt_boxes'].at[..., 7:9].set(0.0)
+        model = SparseFusionDetector(
+            num_classes=5, voxel_size=0.05, input_capacity=512,
+            backbone_capacities=(512, 256, 256, 128, 64, 32),
+            fpn_capacities=(256, 128, 64, 32), max_dets=16, nms_pre=64,
+            max_candidates=64, resnet_depth=18, mink_depth=18,
+            bbox_mode='yaw7d')
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False,
+                               mode='feats')
+        return model, variables, batch
+
+    def test_reg_channels(self, setup):
+        model, variables, batch = setup
+        kern = variables['params']['bbox_head']['conv_reg']['kernel']
+        assert kern.shape[-1] == 7
+
+    def test_loss_and_grads(self, setup):
+        model, variables, batch = setup
+
+        def loss_fn(params):
+            losses, _ = model.apply(
+                {'params': params, 'batch_stats': variables['batch_stats']},
+                batch, train=True, mode='loss', mutable=['batch_stats'])
+            return sum(losses.values()), losses
+
+        (total, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables['params'])
+        assert np.isfinite(float(total))
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+
+    def test_predict_boxes_yaw_only(self, setup):
+        model, variables, batch = setup
+        preds = model.apply(variables, batch, train=False, mode='predict')
+        boxes = np.asarray(preds['bboxes'])
+        assert np.isfinite(boxes).all()
+        # beta/gamma angles must be exactly zero in yaw mode
+        np.testing.assert_allclose(boxes[..., 7:9], 0.0)
+
+
+class TestBottleneckBackbone:
+    """MinkResNet-50 (Bottleneck) variant (reference mink_resnet.py:36)."""
+
+    def test_forward_and_loss(self):
+        rng = np.random.RandomState(2)
+        batch = tiny_batch(rng, b=1, p=256)
+        model = SparseFusionDetector(
+            num_classes=5, voxel_size=0.05, input_capacity=256,
+            backbone_capacities=(256, 128, 128, 64, 32, 16),
+            fpn_capacities=(128, 64, 32, 16), max_dets=8, nms_pre=32,
+            max_candidates=32, resnet_depth=18, mink_depth=50)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False,
+                               mode='feats')
+        losses, _ = model.apply(variables, batch, train=True, mode='loss',
+                                mutable=['batch_stats'])
+        for k, val in losses.items():
+            assert np.isfinite(float(val)), k

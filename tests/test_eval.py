@@ -89,3 +89,19 @@ class TestIndoorEval:
                           verbose=False)
         assert ret['head_mAP_0.25'] == 1.0
         assert ret['common_mAP_0.25'] == 0.0
+
+
+def test_grounding_format_results(tmp_path):
+    from embodiedscan_tpu.eval.grounding_metric import format_results
+    rng = np.random.RandomState(0)
+    dts = [dict(bboxes=rng.randn(32, 9), scores=rng.rand(32))
+           for _ in range(3)]
+    out = format_results(dts, str(tmp_path))
+    import json
+    with open(out) as f:
+        results = json.load(f)
+    assert len(results) == 3
+    for r in results:
+        assert len(r['bboxes_3d']) == 20
+        scores = r['scores_3d']
+        assert scores == sorted(scores, reverse=True)

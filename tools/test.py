@@ -24,6 +24,12 @@ def main():
                              'pins the TPU plugin via sitecustomize, so env '
                              'vars alone cannot switch to CPU')
     parser.add_argument('--synthetic', action='store_true')
+    parser.add_argument('--format-only', action='store_true',
+                        help='skip metrics; dump the grounding challenge '
+                             'submission json (top-20 boxes per sample)')
+    parser.add_argument('--vis-dir', default='',
+                        help='export prediction PLYs into this directory '
+                             '(in-loop visualization hook)')
     args = parser.parse_args()
 
     if args.platform:
@@ -37,11 +43,16 @@ def main():
         cfg.work_dir = args.work_dir
     if args.synthetic:
         cfg.data.synthetic = True
+    if args.vis_dir:
+        cfg.vis_dir = args.vis_dir
 
     from embodiedscan_tpu.train.loop import evaluate
-    metrics = evaluate(cfg, max_scenes=args.max_scenes)
-    print(json.dumps({k: round(float(v), 5) for k, v in metrics.items()},
-                     indent=1))
+    metrics = evaluate(cfg, max_scenes=args.max_scenes,
+                       format_only=args.format_only)
+    print(json.dumps({
+        k: (round(float(v), 5) if not isinstance(v, str) else v)
+        for k, v in metrics.items()
+    }, indent=1))
 
 
 if __name__ == '__main__':
