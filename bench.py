@@ -90,7 +90,8 @@ def run(scale: str):
     cfg = cfgs[scale]
     # experiment knobs (default = shipping config)
     cfg['b'] = int(os.environ.get('BENCH_B', cfg['b']))
-    remat = os.environ.get('BENCH_REMAT', '0') == '1'
+    remat = {'0': False, '1': True}.get(os.environ.get('BENCH_REMAT', '0'),
+                                        os.environ.get('BENCH_REMAT'))
     model = SparseFusionDetector(
         num_classes=cfg['classes'],
         voxel_size=0.01,

@@ -43,8 +43,9 @@ class SparseFusionDetector(nn.Module):
     img_dtype: jnp.dtype = jnp.float32
     # 'euler9d' (FCAF3DHeadRotMat), 'yaw7d' or 'aa6d' (reference FCAF3DHead)
     bbox_mode: str = 'euler9d'
-    # rematerialize backbone stages in backward (memory for recompute)
-    remat: bool = False
+    # rematerialize backbone stages in backward (memory for recompute):
+    # False/'none', True/'all', '2d' (image branch only), '3d' (sparse only)
+    remat: bool | str = False
 
     def setup(self):
         self.trunk = SparseFusionTrunk(

@@ -28,7 +28,7 @@ import numpy as np
 
 from ..geometry.rotations import matrix_to_euler_zxy, ortho_6d_to_matrix
 from ..ops import sparse as S
-from ..ops.hungarian import hungarian_match
+from ..ops.hungarian import auction_match, hungarian_match
 from .fcaf3d import _CLS_BIAS
 from .losses import bbox_cd_loss, bbox_to_corners
 from .norm import MaskedBatchNorm
@@ -246,6 +246,9 @@ class SparseFusionGrounder(nn.Module):
     cost_cls_weight: float = 1.0
     cost_l1_weight: float = 2.0
     cost_iou_weight: float = 2.0
+    # 'hungarian' = scipy host callback (bit-parity with the reference);
+    # 'auction' = on-device eps-optimal matcher (no host round trip)
+    matcher: str = 'hungarian'
 
     def setup(self):
         self.trunk = SparseFusionTrunk(
@@ -323,6 +326,8 @@ class SparseFusionGrounder(nn.Module):
                     self.cost_l1_weight * cost_l1 +
                     self.cost_iou_weight * cost_iou)
             cost = jnp.where(qm_i[:, None], cost, 1e6)
+            if self.matcher == 'auction':
+                return auction_match(cost, gm_i)
             return hungarian_match(cost, gm_i)
 
         # stop gradients on the *inputs*: pure_callback has no JVP rule, and

@@ -40,7 +40,12 @@ class SparseFusionTrunk(nn.Module):
     resnet_depth: int = 50
     mink_depth: int = 34
     img_dtype: jnp.dtype = jnp.float32
-    remat: bool = False
+    # False/'none', True/'all', '2d' (image backbone only), '3d' (sparse only)
+    remat: bool | str = False
+
+    def _remat(self, which: str) -> bool:
+        mode = {True: 'all', False: 'none'}.get(self.remat, self.remat)
+        return mode in ('all', which)
 
     @property
     def out_channels(self) -> tuple:
@@ -58,13 +63,13 @@ class SparseFusionTrunk(nn.Module):
             pts, pts, pmask, self.voxel_size, self.input_capacity)
         levels = MinkResNet(depth=self.mink_depth,
                             capacities=tuple(self.backbone_capacities),
-                            remat=self.remat)(st, train=train)
+                            remat=self._remat('3d'))(st, train=train)
 
         imgs = batch['imgs'].astype(self.img_dtype)
         b, v, h, w, _ = imgs.shape
         feats2d = ResNet(depth=self.resnet_depth, base_channels=16,
                          dtype=self.img_dtype,
-                         remat=self.remat)(imgs.reshape(b * v, h, w, 3))
+                         remat=self._remat('2d'))(imgs.reshape(b * v, h, w, 3))
         fused = []
         for i, lvl in enumerate(levels):
             f2d = feats2d[i]
