@@ -92,13 +92,20 @@ def run(scale: str):
     cfg['b'] = int(os.environ.get('BENCH_B', cfg['b']))
     remat = {'0': False, '1': True}.get(os.environ.get('BENCH_REMAT', '0'),
                                         os.environ.get('BENCH_REMAT'))
+    import jax.numpy as _jnp
+    if os.environ.get('BENCH_SPARSE_BF16', '0') == '1':
+        from embodiedscan_tpu.ops import sparse as _S
+        _S.set_conv_compute_dtype(_jnp.bfloat16)
+    img_dtype = _jnp.bfloat16 \
+        if os.environ.get('BENCH_IMG_BF16', '0') == '1' else _jnp.float32
     model = SparseFusionDetector(
         num_classes=cfg['classes'],
         voxel_size=0.01,
         input_capacity=cfg['input_capacity'],
         backbone_capacities=cfg['backbone_capacities'],
         fpn_capacities=cfg['fpn_capacities'],
-        remat=remat)
+        remat=remat,
+        img_dtype=img_dtype)
     batch = make_batch(cfg['b'], cfg['p'], cfg['v'], cfg['hw'], cfg['g'],
                        cfg['classes'])
     # jit the init: eager init dispatches thousands of individual ops,

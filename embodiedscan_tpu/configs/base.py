@@ -90,6 +90,12 @@ class ModelConfig:
     text_layers: int = 12
     text_hidden: int = 768
     text_heads: int = 12
+    # rematerialization: 'none' | '2d' | '3d' | 'all'. '2d' measured best
+    # for batch >= 2 at full scale on v5e (PERF.md batch-scaling ladder)
+    remat: str = '2d'
+    # Hungarian matcher (grounding): 'hungarian' (scipy callback, reference
+    # parity) | 'auction' (on-device)
+    matcher: str = 'hungarian'
     # occupancy
     occ_classes: int = 81
     n_voxels: Sequence[int] = (40, 40, 16)
@@ -215,7 +221,8 @@ def build_model(cfg: Config):
             mink_depth=m.mink_depth,
             nms_pre=m.nms_pre,
             max_candidates=m.max_candidates,
-            max_dets=m.max_dets)
+            max_dets=m.max_dets,
+            remat=m.remat)
     if m.task == 'mv_grounding':
         from ..models.grounding import SparseFusionGrounder
         return SparseFusionGrounder(
@@ -230,7 +237,9 @@ def build_model(cfg: Config):
             text_arch=m.text_arch,
             text_layers=m.text_layers,
             text_hidden=m.text_hidden,
-            text_heads=m.text_heads)
+            text_heads=m.text_heads,
+            matcher=m.matcher,
+            remat=m.remat)
     if m.task in ('mv_occ', 'cont_occ'):
         from ..models.occupancy import DenseFusionOccPredictor
         return DenseFusionOccPredictor(

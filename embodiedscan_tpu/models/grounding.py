@@ -249,6 +249,8 @@ class SparseFusionGrounder(nn.Module):
     # 'hungarian' = scipy host callback (bit-parity with the reference);
     # 'auction' = on-device eps-optimal matcher (no host round trip)
     matcher: str = 'hungarian'
+    # rematerialization mode for the trunk ('none'|'2d'|'3d'|'all')
+    remat: str = 'none'
 
     def setup(self):
         self.trunk = SparseFusionTrunk(
@@ -256,7 +258,8 @@ class SparseFusionGrounder(nn.Module):
             input_capacity=self.input_capacity,
             backbone_capacities=tuple(self.backbone_capacities),
             resnet_depth=self.resnet_depth,
-            mink_depth=self.mink_depth)
+            mink_depth=self.mink_depth,
+            remat=self.remat)
         self.neck = MinkNeck(in_channels=self.trunk.out_channels,
                              out_channels=self.embed_dims,
                              voxel_size=self.voxel_size,

@@ -36,6 +36,18 @@ OFFSETS_2 = np.array(
     dtype=np.int32)  # (8, 3)
 OFFSETS_1 = np.zeros((1, 3), dtype=np.int32)
 
+# Trace-time compute dtype for sparse-conv gathers+matmuls. None keeps the
+# input dtype (f32); jnp.bfloat16 halves gather bandwidth and runs the MXU
+# native (accumulation stays f32). Set via set_conv_compute_dtype() BEFORE
+# tracing/jit; it is baked into compiled programs, not a runtime switch.
+CONV_COMPUTE_DTYPE = None
+
+
+def set_conv_compute_dtype(dtype) -> None:
+    """Set the sparse-conv compute dtype (None or jnp.bfloat16)."""
+    global CONV_COMPUTE_DTYPE
+    CONV_COMPUTE_DTYPE = dtype
+
 
 class SparseTensor(NamedTuple):
     """One sparse level for one sample.
@@ -114,7 +126,14 @@ def gather_matmul_conv(feats: jax.Array, mask: jax.Array, nbr: jax.Array,
     k = weights.shape[0]
     cout = weights.shape[-1]
     safe_feats = jnp.where(mask[:, None], feats, 0)
-    padded = jnp.concatenate([safe_feats, jnp.zeros((1, cin), feats.dtype)])
+    if CONV_COMPUTE_DTYPE is not None:
+        # cast BEFORE the gather: row gathers are HBM-bandwidth-bound on TPU,
+        # so bf16 halves the dominant cost; accumulation stays f32 via
+        # preferred_element_type
+        safe_feats = safe_feats.astype(CONV_COMPUTE_DTYPE)
+        weights = weights.astype(CONV_COMPUTE_DTYPE)
+    padded = jnp.concatenate(
+        [safe_feats, jnp.zeros((1, cin), safe_feats.dtype)])
     idx = jnp.where(nbr >= 0, nbr, n)  # absent -> zero row
     # One row-gather + (M, Cin) x (Cin, Cout) MXU matmul per kernel offset.
     # Measured on TPU v5e: this unrolled form compiles ~100x faster and runs

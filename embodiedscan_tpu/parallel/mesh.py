@@ -19,22 +19,47 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = 'data'
+VIEW_AXIS = 'view'
+
+# batch keys carrying a per-view leading-2 layout (B, V, ...): these shard
+# over the view axis in a 2D mesh. Everything else is view-replicated.
+_VIEW_KEYS = ('imgs', 'proj', 'view_mask')
 
 
 def make_mesh(devices: Sequence[jax.Device] | None = None,
-              axes: Sequence[str] = (DATA_AXIS,)) -> Mesh:
-    """Build a 1D (or reshaped) device mesh over the given devices."""
+              view_parallel: int = 1) -> Mesh:
+    """Build the device mesh.
+
+    ``view_parallel=1``: 1D ``(data,)`` mesh (the reference's DDP analog).
+    ``view_parallel=k``: 2D ``(data, view)`` mesh — the framework's
+    sequence-parallel axis (SURVEY.md §5.7): the multi-view image backbone
+    and per-view fusion shard over views; the masked mean over views becomes
+    a ``psum`` XLA inserts at the fusion reduction.
+    """
     devs = np.asarray(devices if devices is not None else jax.devices())
-    if len(axes) == 1:
-        return Mesh(devs, axes)
-    # reserved growth path: factor devices into (data, model) grids etc.
-    shape = (len(devs) // np.prod([1]), )
-    return Mesh(devs.reshape(shape), axes)
+    if view_parallel <= 1:
+        return Mesh(devs, (DATA_AXIS,))
+    assert len(devs) % view_parallel == 0, (
+        f'{len(devs)} devices not divisible by view_parallel={view_parallel}')
+    grid = devs.reshape(len(devs) // view_parallel, view_parallel)
+    return Mesh(grid, (DATA_AXIS, VIEW_AXIS))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis."""
+def batch_sharding(mesh: Mesh, key: str | None = None) -> NamedSharding:
+    """Sharding for one batch entry: batch dim over data; views over view.
+
+    With a 1D mesh every entry shards as ``P('data')``. With a
+    ``(data, view)`` mesh, per-view arrays (imgs/proj/view_mask) shard their
+    V axis too; per-scene arrays stay view-replicated.
+    """
+    if VIEW_AXIS in mesh.axis_names and (key is None or key in _VIEW_KEYS):
+        return NamedSharding(mesh, P(DATA_AXIS, VIEW_AXIS))
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def batch_shardings(mesh: Mesh, batch: Any) -> Any:
+    """Per-entry shardings pytree for jit in_shardings."""
+    return {k: batch_sharding(mesh, k) for k in batch}
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -43,8 +68,10 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Device-put a pytree of (B, ...) arrays with B sharded over data."""
-    sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return {
+        k: jax.device_put(v, batch_sharding(mesh, k))
+        for k, v in batch.items()
+    }
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
