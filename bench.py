@@ -119,6 +119,12 @@ def run(scale: str):
 
     state, metrics = step(state, batch)  # compile + warmup
     loss = float(metrics['loss_total'])  # full sync (value fetch)
+    # settle: the remote runtime's FIRST execution of a fresh executable has
+    # a large one-time cost that can bleed into the next few dispatches;
+    # run a few more synced iterations before timing
+    for _ in range(2):
+        state, metrics = step(state, batch)
+        loss = float(metrics['loss_total'])
     n_iter = int(os.environ.get('BENCH_ITERS', '5'))
     t0 = time.time()
     for _ in range(n_iter):

@@ -24,7 +24,7 @@ from ..ops import sparse as S
 from .losses import (axis_aligned_iou_loss, bbox_cd_loss, bce_with_logits,
                      rotated_iou_loss, sigmoid_focal_loss)
 from .norm import MaskedBatchNorm
-from .sparse_nn import SparseConv, bneighbor_table
+from .sparse_nn import SparseConv, bneighbor_table, fpn_tables
 
 # bias init matching mmengine bias_init_with_prob(0.01)
 _CLS_BIAS = float(-np.log((1 - 0.01) / 0.01))
@@ -136,8 +136,25 @@ def assign_targets(points: jax.Array, levels: jax.Array, pmask: jax.Array,
     centerness = jnp.where(level_cond, centerness, -1.0)
 
     kth = min(center_thr + 1, p)
-    top_vals = jax.lax.top_k(centerness.T, kth)[0]  # (G, kth)
-    top_centerness = top_vals[:, -1]
+
+    # kth-largest centerness per gt WITHOUT top_k: top_k lowers to a
+    # per-row sort ((G, P) ~ 128 x 39k), which on TPU degrades ~12x under
+    # batch dimensions; kth is small (19), so k rounds of masked max+remove
+    # are exact and stay in fast elementwise/reduce ops
+    def kth_largest(c):  # (G, P) -> (G,)
+        def body(_, carry):
+            cur, last = carry
+            m = jnp.max(cur, axis=-1)  # (G,)
+            am = jnp.argmax(cur, axis=-1)  # (G,)
+            cur = jnp.where(
+                jnp.arange(cur.shape[-1])[None, :] == am[:, None],
+                -jnp.inf, cur)
+            return cur, m
+        _, last = jax.lax.fori_loop(0, kth, body,
+                                    (c, jnp.zeros(c.shape[0])))
+        return last
+
+    top_centerness = kth_largest(centerness.T)
     topk_cond = centerness > top_centerness[None, :]
 
     volumes = jnp.broadcast_to(gbox.volume(gt_boxes)[None, :], inside.shape)
@@ -189,23 +206,26 @@ class FCAF3DHead(nn.Module):
     max_candidates: int = 1024
     max_dets: int = 256
 
-    def _up_block(self, x: S.SparseTensor, cout: int, train: bool,
+    def _up_tconv(self, x: S.SparseTensor, cout: int,
                   name: str) -> S.SparseTensor:
-        """Generative transpose (k2 s2) + BN + ELU + conv3 + BN + ELU."""
+        """Generative transpose (k2 s2): emits the 8 children of each voxel."""
         cin = x.feats.shape[-1]
         w = self.param(f'{name}_tconv', nn.initializers.variance_scaling(
             2.0, 'fan_out', 'normal'), (8, cin, cout))
         up, _ = jax.vmap(S.generative_transpose2, in_axes=(0, None))(x, w)
+        return up
+
+    def _up_rest(self, up: S.SparseTensor, cout: int, train: bool, name: str,
+                 nbr: jax.Array) -> S.SparseTensor:
+        """BN + ELU + conv3 (precomputed table) + BN + ELU after the tconv."""
         f = MaskedBatchNorm(name=f'{name}_bn1')(
             up.feats, up.mask, use_running_average=not train)
         f = nn.elu(f)
-        st = S.SparseTensor(up.coords, f, up.mask)
-        nbr = bneighbor_table(st, S.OFFSETS_3)
-        f = SparseConv(cout, name=f'{name}_conv')(f, st.mask, nbr)
+        f = SparseConv(cout, name=f'{name}_conv')(f, up.mask, nbr)
         f = MaskedBatchNorm(name=f'{name}_bn2')(
-            f, st.mask, use_running_average=not train)
+            f, up.mask, use_running_average=not train)
         f = nn.elu(f)
-        return S.SparseTensor(st.coords, f, st.mask)
+        return S.SparseTensor(up.coords, f, up.mask)
 
     def _out_block(self, x: S.SparseTensor, train: bool,
                    name: str) -> jax.Array:
@@ -240,23 +260,29 @@ class FCAF3DHead(nn.Module):
         prune_level = None  # (coords, scores, mask) of the coarser level
         for i in range(n_levels - 1, -1, -1):
             if i < n_levels - 1:
-                up = self._up_block(x, self.in_channels[i], train,
+                up = self._up_tconv(x, self.in_channels[i],
                                     name=f'up_block_{i + 1}')
-                x = jax.vmap(S.scatter_sum_into)(up, inputs[i])
+                # children-conv table, lateral coordinate match, and
+                # prune-interp corner lookup all fuse into ONE sort: they
+                # depend only on children/lateral/coarser coords
+                pcoords, pscores, pm = prune_level
+                nbr_u, lat_idx, interp_idx = fpn_tables(
+                    up, inputs[i], pcoords, pm)
+                up = self._up_rest(up, self.in_channels[i], train,
+                                   name=f'up_block_{i + 1}', nbr=nbr_u)
+                x = S.bmap(S.scatter_sum_into, (0, 0, 0))(up, inputs[i], lat_idx)
                 # prune by the coarser head's max-cls score, interpolated at
                 # this level's coords (fcaf3d_head.py:1091-1114)
-                pcoords, pscores, pm = prune_level
 
-                def interp(pc, ps, pm_, qc, qm):
+                def interp(pc, ps, pm_, qc, qm, idx):
                     st = S.SparseTensor(pc, ps[:, None], pm_)
                     return S.interpolate_trilinear(
-                        st, qc.astype(jnp.float32) / 2.0, qm)[:, 0]
+                        st, qc.astype(jnp.float32) / 2.0, qm, idx=idx)[:, 0]
 
                 score = jax.vmap(interp)(pcoords, pscores, pm, x.coords,
-                                         x.mask)
+                                         x.mask, interp_idx)
                 keep = min(self.pts_prune_threshold, self.fpn_capacities[i])
-                x = jax.vmap(S.topk_select, in_axes=(0, 0, None))(
-                    x, score, keep)
+                x = S.bmap(S.topk_select, (0, 0, None))(x, score, keep)
 
             out = self._out_block(x, train, name=f'out_block_{i}')
             center = conv_center(out)

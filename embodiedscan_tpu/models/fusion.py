@@ -60,12 +60,17 @@ def point_image_sample(points: jax.Array, point_mask: jax.Array,
     xf = coor_x / w_pad * (wf - 1)
     yf = coor_y / h_pad * (hf - 1)
 
+    # one flat row-gather over all views: batched (per-view) gathers lower
+    # to slower per-batch loops on TPU, a single (V*N,)-index gather streams
+    flat = img_feats.reshape(v * hf * wf, c)
+    vbase = (jnp.arange(v, dtype=jnp.int32) * (hf * wf))[:, None]
+
     def gather(yi, xi):
         yi = jnp.clip(yi, 0, hf - 1)
         xi = jnp.clip(xi, 0, wf - 1)
-        flat = img_feats.reshape(v, hf * wf, c)
-        idx = yi * wf + xi  # (V, N)
-        return jnp.take_along_axis(flat, idx[..., None], axis=1)  # (V, N, C)
+        idx = vbase + yi * wf + xi  # (V, N)
+        n = idx.shape[1]
+        return flat[idx.reshape(-1)].reshape(v, n, c)
 
     if mode == 'nearest':
         sampled = gather(jnp.round(yf).astype(jnp.int32),

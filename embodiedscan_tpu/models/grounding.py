@@ -32,7 +32,7 @@ from ..ops.hungarian import auction_match, hungarian_match
 from .fcaf3d import _CLS_BIAS
 from .losses import bbox_cd_loss, bbox_to_corners
 from .norm import MaskedBatchNorm
-from .sparse_nn import SparseConv, bneighbor_table
+from .sparse_nn import SparseConv, bneighbor_table, fpn_tables
 from .text import TextEncoder
 from .trunk import STRIDES, SparseFusionTrunk
 
@@ -49,20 +49,21 @@ class MinkNeck(nn.Module):
     fpn_capacities: Sequence[int] = (1024, 1024, 1024, 2048)
     pts_prune_threshold: int = 1000
 
-    def _up_block(self, x, cout, train, name):
+    def _up_tconv(self, x, cout, name):
         cin = x.feats.shape[-1]
         w = self.param(f'{name}_tconv', nn.initializers.variance_scaling(
             2.0, 'fan_out', 'normal'), (8, cin, cout))
         up, _ = jax.vmap(S.generative_transpose2, in_axes=(0, None))(x, w)
+        return up
+
+    def _up_rest(self, up, cout, train, name, nbr):
         f = MaskedBatchNorm(name=f'{name}_bn1')(
             up.feats, up.mask, use_running_average=not train)
         f = nn.elu(f)
-        st = S.SparseTensor(up.coords, f, up.mask)
-        nbr = bneighbor_table(st, S.OFFSETS_3)
-        f = SparseConv(cout, name=f'{name}_conv')(f, st.mask, nbr)
+        f = SparseConv(cout, name=f'{name}_conv')(f, up.mask, nbr)
         f = MaskedBatchNorm(name=f'{name}_bn2')(
-            f, st.mask, use_running_average=not train)
-        return S.SparseTensor(st.coords, nn.elu(f), st.mask)
+            f, up.mask, use_running_average=not train)
+        return S.SparseTensor(up.coords, nn.elu(f), up.mask)
 
     @nn.compact
     def __call__(self, inputs, train: bool = True):
@@ -75,21 +76,25 @@ class MinkNeck(nn.Module):
         prune_level = None
         for i in range(n_levels - 1, -1, -1):
             if i < n_levels - 1:
-                up = self._up_block(x, self.in_channels[i], train,
+                up = self._up_tconv(x, self.in_channels[i],
                                     f'up_block_{i + 1}')
-                x = jax.vmap(S.scatter_sum_into)(up, inputs[i])
                 pcoords, pscores, pm = prune_level
+                # three per-level lookups fused into one sort (see fpn_tables)
+                nbr_u, lat_idx, interp_idx = fpn_tables(
+                    up, inputs[i], pcoords, pm)
+                up = self._up_rest(up, self.in_channels[i], train,
+                                   f'up_block_{i + 1}', nbr_u)
+                x = S.bmap(S.scatter_sum_into, (0, 0, 0))(up, inputs[i], lat_idx)
 
-                def interp(pc, ps, pm_, qc, qm):
+                def interp(pc, ps, pm_, qc, qm, idx):
                     st = S.SparseTensor(pc, ps[:, None], pm_)
                     return S.interpolate_trilinear(
-                        st, qc.astype(jnp.float32) / 2.0, qm)[:, 0]
+                        st, qc.astype(jnp.float32) / 2.0, qm, idx=idx)[:, 0]
 
                 score = jax.vmap(interp)(pcoords, pscores, pm, x.coords,
-                                         x.mask)
+                                         x.mask, interp_idx)
                 keep = min(self.pts_prune_threshold, self.fpn_capacities[i])
-                x = jax.vmap(S.topk_select, in_axes=(0, 0, None))(
-                    x, score, keep)
+                x = S.bmap(S.topk_select, (0, 0, None))(x, score, keep)
             # out block: conv3 -> BN -> ELU to out_channels
             nbr = bneighbor_table(x, S.OFFSETS_3)
             f = SparseConv(self.out_channels, name=f'out_block_{i}_conv')(

@@ -5,7 +5,8 @@ TPU-native equivalent of the reference's MinkowskiEngine backbone
 (conv3 stride-2 stem + InstanceNorm + ReLU + maxpool2, then 4 stages of
 stride-2 BasicBlocks), rebuilt on fixed-capacity sparse tensors where each
 conv is a neighbor-gather plus one MXU matmul. All sparse tensors are batched
-(leading B axis) and coordinate ops are vmapped.
+(leading B axis); sort-carrying coordinate ops are unrolled per sample
+because TPU sorts degrade ~12x under a batch dimension (see ops.sparse.bmap).
 """
 
 from typing import Sequence, Tuple
@@ -21,15 +22,16 @@ kaiming_out = nn.initializers.variance_scaling(2.0, 'fan_out', 'normal')
 
 
 def bneighbor_table(st: S.SparseTensor, offsets: np.ndarray) -> jax.Array:
-    """Batched neighbor table: (B, N, K)."""
-    return jax.vmap(lambda c, m: S.neighbor_table(S.SparseTensor(c, None, m),
-                                                  offsets))(st.coords, st.mask)
+    """Batched neighbor table: (B, N, K). Unrolled over B (flat sorts)."""
+    return S.bmap(lambda c, m: S.neighbor_table(S.SparseTensor(c, None, m),
+                                                offsets),
+                  (0, 0))(st.coords, st.mask)
 
 
 def bdownsample(st: S.SparseTensor, capacity: int) -> S.DownsampleMap:
-    return jax.vmap(
-        lambda c, m: S.downsample_coords(S.SparseTensor(c, None, m), capacity)
-    )(st.coords, st.mask)
+    return S.bmap(
+        lambda c, m: S.downsample_coords(S.SparseTensor(c, None, m), capacity),
+        (0, 0))(st.coords, st.mask)
 
 
 class SparseConv(nn.Module):
@@ -46,8 +48,16 @@ class SparseConv(nn.Module):
                        (self.kernel_size, cin, self.features))
         b = self.param('bias', nn.initializers.zeros,
                        (self.features,)) if self.use_bias else None
-        out = jax.vmap(S.gather_matmul_conv,
-                       in_axes=(0, 0, 0, None, None))(feats, mask, nbr, w, b)
+        if out_mask is None and self.kernel_size == 27:
+            # submanifold: mirror-symmetric table -> gather-only backward
+            out = jax.vmap(S.subm_gather_conv,
+                           in_axes=(0, 0, 0, None))(feats, mask, nbr, w)
+            if b is not None:
+                out = out + b
+        else:
+            out = jax.vmap(S.gather_matmul_conv,
+                           in_axes=(0, 0, 0, None, None))(feats, mask, nbr,
+                                                          w, b)
         om = mask if out_mask is None else out_mask
         return jnp.where(om[..., None], out, 0).astype(feats.dtype)
 
@@ -63,7 +73,66 @@ def strided_queries(st: S.SparseTensor, dmap: S.DownsampleMap,
         qm = jnp.repeat(omask, offsets.shape[0])
         return lookup_merge(coords, mask, q, qm).reshape(ocoords.shape[0], -1)
 
-    return jax.vmap(one)(st.coords, st.mask, dmap.coords, dmap.mask)
+    return S.bmap(one, (0, 0, 0, 0))(st.coords, st.mask, dmap.coords,
+                                     dmap.mask)
+
+
+def stage_tables(st: S.SparseTensor, dmap: S.DownsampleMap
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Fused (strided, submanifold) neighbor tables for one ResNet stage.
+
+    Both tables depend only on the fine coords and the downsample result, so
+    their four sorts fuse into two (``lookup_merge_multi``): the strided conv
+    gathers fine rows at ``2*o + k`` and every later submanifold conv in the
+    stage gathers coarse rows at ``o + k``.
+    """
+    from ..ops.hashing import lookup_merge_multi
+    offs = jnp.asarray(S.OFFSETS_3)
+
+    def one(fc, fm, cc, cm):
+        m = cc.shape[0]
+        sq = (cc[:, None, :] * 2 + offs[None]).reshape(-1, 3)
+        nq = (cc[:, None, :] + offs[None]).reshape(-1, 3)
+        qm = jnp.repeat(cm, offs.shape[0])
+        s_idx, n_idx = lookup_merge_multi([(fc, fm, sq, qm),
+                                           (cc, cm, nq, qm)])
+        return s_idx.reshape(m, -1), n_idx.reshape(m, -1)
+
+    return S.bmap(one, (0, 0, 0, 0))(st.coords, st.mask, dmap.coords,
+                                     dmap.mask)
+
+
+def fpn_tables(up: S.SparseTensor, lateral: S.SparseTensor,
+               pcoords: jax.Array, pmask: jax.Array
+               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused coordinate tables for one FPN top-down level (one sort).
+
+    After the generative transpose emits the children tensor ``up``, the
+    three coordinate lookups of the level — the children submanifold-conv
+    table, the lateral-sum match of ``lateral`` into the children, and the
+    8-corner prune-interpolation lookup into the coarser level ``pcoords``
+    — are all independent, so their six sorts fuse into two.
+
+    Returns:
+        (nbr (B,N,27), lateral_idx (B,L), interp_idx (B,N,8)).
+    """
+    from ..ops.hashing import lookup_merge_multi
+    offs3 = jnp.asarray(S.OFFSETS_3)
+
+    def one(uc, um, lc, lm, pc, pm):
+        n = uc.shape[0]
+        nq = (uc[:, None, :] + offs3[None]).reshape(-1, 3)
+        iq = S.interp_queries(uc.astype(jnp.float32) / 2.0).reshape(-1, 3)
+        nbr, lat, itp = lookup_merge_multi([
+            (uc, um, nq, jnp.repeat(um, offs3.shape[0])),
+            (uc, um, lc, lm),
+            (pc, pm, iq, jnp.repeat(um, 8)),
+        ])
+        return nbr.reshape(n, -1), lat, itp.reshape(n, 8)
+
+    return S.bmap(one, (0, 0, 0, 0, 0, 0))(up.coords, up.mask,
+                                           lateral.coords, lateral.mask,
+                                           pcoords, pmask)
 
 
 class SparseBasicBlock(nn.Module):
@@ -131,10 +200,9 @@ class SparseStage(nn.Module):
         expansion = 1 if self.block == 'basic' else 4
         cout = self.features * expansion
         dmap = bdownsample(st, self.capacity)
-        nbr = bneighbor_table(S.SparseTensor(dmap.coords, None, dmap.mask),
-                              S.OFFSETS_3)
+        # strided + submanifold tables share one fused sort
+        s_nbr, nbr = stage_tables(st, dmap)
         if self.block == 'basic':
-            s_nbr = strided_queries(st, dmap, S.OFFSETS_3)
             out = SparseConv(self.features)(st.feats, st.mask, s_nbr,
                                             out_mask=dmap.mask)
             out = MaskedBatchNorm()(out, dmap.mask,
@@ -150,7 +218,6 @@ class SparseStage(nn.Module):
             out = MaskedBatchNorm()(out, st.mask,
                                     use_running_average=not train)
             out = nn.relu(jnp.where(st.mask[..., None], out, 0))
-            s_nbr = strided_queries(st, dmap, S.OFFSETS_3)
             out = SparseConv(self.features)(out, st.mask, s_nbr,
                                             out_mask=dmap.mask)
             out = MaskedBatchNorm()(out, dmap.mask,

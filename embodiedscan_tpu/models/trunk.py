@@ -59,7 +59,7 @@ class SparseFusionTrunk(nn.Module):
         pmask = batch['points_mask']
         # use_xyz_feat=True: xyz are also the features
         # (sparse_featfusion_single_stage.py:110-114)
-        st = jax.vmap(S.from_points, in_axes=(0, 0, 0, None, None))(
+        st = S.bmap(S.from_points, (0, 0, 0, None, None))(
             pts, pts, pmask, self.voxel_size, self.input_capacity)
         levels = MinkResNet(depth=self.mink_depth,
                             capacities=tuple(self.backbone_capacities),

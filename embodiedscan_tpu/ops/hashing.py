@@ -164,6 +164,69 @@ def lookup_merge(coords: jax.Array, mask: jax.Array, queries: jax.Array,
     return res_sorted[:q]
 
 
+def lookup_merge_multi(pairs) -> list:
+    """Fuse several independent coordinate lookups into ONE sort.
+
+    K independent lookups pay the sort cost 2K times (join sort + un-permute
+    sort each). This fuses them into exactly two 2-operand sorts — measured
+    on v5e, operand count dominates sort cost (a 3-operand stable sort is
+    ~4x a 2-operand one), so the pair id is NOT a sort operand: all keys are
+    sorted globally, and the cummax join runs per pair under a mask. That
+    stays exact because within one pair the table rows ascend in both key
+    and concat position (the engine invariant), so the masked lkey/lrow
+    cummaxes always track the same winning entry; cross-pair key collisions
+    are filtered by the same masks. Cost: 2 sorts + 2K cummaxes.
+
+    Args:
+        pairs: list of (coords, mask, queries, qmask) with the same
+            contracts as :func:`lookup_merge`.
+
+    Returns:
+        list of (Q_i,) int32 arrays: table row index or -1, per pair.
+    """
+    int_min = jnp.iinfo(jnp.int32).min
+    int_max = jnp.iinfo(jnp.int32).max
+    keys = []
+    tstarts, qstarts = [], []
+    pos = 0
+    # all tables first: with a stable sort, every table row lands before the
+    # queries of equal key (the join's tie-break requirement)
+    origins = []
+    for coords, mask, _, _ in pairs:
+        origin = jnp.min(
+            jnp.where(mask[:, None], coords, jnp.int32(2**30)), axis=0)
+        origins.append(origin)
+        keys.append(pack_key32(coords, mask, origin))
+        tstarts.append(pos)
+        pos += coords.shape[0]
+    n_tables = pos
+    for i, (_, _, queries, qmask) in enumerate(pairs):
+        keys.append(pack_key32(queries, qmask, origins[i]))
+        qstarts.append(pos)
+        pos += queries.shape[0]
+    key = jnp.concatenate(keys)
+    aux = jnp.arange(pos, dtype=jnp.int32)
+    skey, saux = jax.lax.sort((key, aux), num_keys=1, is_stable=True)
+    is_table = saux < n_tables
+    bounds = tstarts[1:] + [n_tables]
+    res = jnp.full((pos,), -1, jnp.int32)
+    for i in range(len(pairs)):
+        sel = is_table & (saux >= tstarts[i]) & (saux < bounds[i])
+        lkey_i = jax.lax.cummax(jnp.where(sel, skey, int_min))
+        lrow_i = jax.lax.cummax(jnp.where(sel, saux, -1))
+        ok = (lrow_i >= 0) & (lkey_i == skey) & (skey != int_max)
+        q_hi = pos if i == len(pairs) - 1 else qstarts[i + 1]
+        mine = (~is_table) & (saux >= qstarts[i]) & (saux < q_hi)
+        res = jnp.where(mine & ok, lrow_i - tstarts[i], res)
+    # un-permute with one sort (saux is the original concat position)
+    _, res_sorted = jax.lax.sort((saux, res), num_keys=1)
+    out = []
+    for i in range(len(pairs)):
+        q = pairs[i][2].shape[0]
+        out.append(res_sorted[qstarts[i]:qstarts[i] + q])
+    return out
+
+
 class UniqueResult(NamedTuple):
     """Deduplicated coordinates with static capacity.
 
@@ -174,44 +237,55 @@ class UniqueResult(NamedTuple):
         inverse: (N,) int32 mapping each input row to its unique slot
             (-1 for masked inputs or rows dropped by capacity overflow).
         count: () int32 number of unique coordinates (pre-clamp).
+        rows: (capacity,) int32 original input row of each unique slot's
+            representative (its FIRST occurrence); 0 past ``count``.
     """
     coords: jax.Array
     mask: jax.Array
     inverse: jax.Array
     count: jax.Array
+    rows: jax.Array
 
 
 def unique_coords(coords: jax.Array, mask: jax.Array,
                   capacity: int) -> UniqueResult:
     """Deduplicate integer coordinates into a fixed-capacity table.
 
-    Sort-based: ties are broken by original index, so the representative of
-    each voxel is its first occurrence (deterministic analog of
-    MinkowskiEngine's RANDOM_SUBSAMPLE collate). If there are more than
-    ``capacity`` unique voxels the surplus (largest keys) is dropped. Output
-    order satisfies the engine invariant (key-sorted, padding last).
+    Sort-based and scatter-free: TPU scatters run element-by-element
+    (~10-30 ns/element), so the compaction and the inverse map are built
+    with two additional small 2-operand sorts instead (sorts stream at
+    ~2 ms/M elements on v5e). Ties are broken by original index, so the
+    representative of each voxel is its first occurrence (deterministic
+    analog of MinkowskiEngine's RANDOM_SUBSAMPLE collate). If there are
+    more than ``capacity`` unique voxels the surplus (largest keys) is
+    dropped. Output order satisfies the engine invariant (key-sorted,
+    padding last).
     """
     n = coords.shape[0]
-    k1, k2, valid = pack_keys(coords, mask)
+    int_max = jnp.iinfo(jnp.int32).max
+    origin = jnp.min(jnp.where(mask[:, None], coords, jnp.int32(2**30)),
+                     axis=0)
+    key = pack_key32(coords, mask, origin)
     idx = jnp.arange(n, dtype=jnp.int32)
-    sk1, sk2, perm = jax.lax.sort((k1, k2, idx), num_keys=2)
-    is_new = jnp.concatenate([
-        jnp.ones((1,), bool),
-        (sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])
-    ])
-    is_new = is_new & (sk1 != _K1_MAX)
+    # idx as a second sort KEY: first-occurrence tie-break
+    skey, perm = jax.lax.sort((key, idx), num_keys=2)
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    is_new = is_new & (skey != int_max)
     uslot = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # slot per sorted row
     count = jnp.sum(is_new.astype(jnp.int32))
 
+    # compaction sort: slot -> representative's original row
     in_cap = is_new & (uslot < capacity)
-    dump = capacity
-    out_coords = jnp.zeros((capacity + 1, 3), jnp.int32)
-    out_coords = out_coords.at[jnp.where(in_cap, uslot, dump)].add(
-        jnp.where(in_cap[:, None], coords[perm], 0))
-    out_mask = jnp.zeros((capacity + 1,), bool).at[
-        jnp.where(in_cap, uslot, dump)].set(in_cap)
+    ckey = jnp.where(in_cap, uslot, int_max)
+    _, comp = jax.lax.sort((ckey, perm), num_keys=1)
+    rows = comp[:capacity] if capacity <= n else jnp.concatenate(
+        [comp, jnp.zeros((capacity - n,), jnp.int32)])
+    out_mask = jnp.arange(capacity, dtype=jnp.int32) < count
+    rows = jnp.where(out_mask, rows, 0)
+    out_coords = jnp.where(out_mask[:, None], coords[rows], 0)
 
-    inv_sorted = jnp.where((uslot < capacity) & (sk1 != _K1_MAX), uslot, -1)
-    inverse = jnp.zeros((n,), jnp.int32).at[perm].set(inv_sorted)
-    return UniqueResult(out_coords[:capacity], out_mask[:capacity], inverse,
-                        count)
+    # inverse map via un-permute sort (perm is a permutation of [0, n))
+    inv_sorted = jnp.where((uslot < capacity) & (skey != int_max), uslot, -1)
+    _, inverse = jax.lax.sort((perm, inv_sorted), num_keys=1)
+    return UniqueResult(out_coords, out_mask, inverse, count, rows)

@@ -49,6 +49,28 @@ def set_conv_compute_dtype(dtype) -> None:
     CONV_COMPUTE_DTYPE = dtype
 
 
+def bmap(fn, in_axes):
+    """Map ``fn`` over a leading batch axis by UNROLLING, not ``vmap``.
+
+    TPU ``lax.sort`` degrades ~12x when given a leading batch dimension
+    (measured on v5e: 2.6 ms flat vs 31 ms as (1, T) at 1.87M elements), so
+    every sort-carrying coordinate op must run on flat per-sample arrays.
+    ``in_axes`` follows vmap semantics (0 or None per positional arg).
+    """
+    def wrapped(*args):
+        b = next(
+            jax.tree_util.tree_leaves(a)[0].shape[0]
+            for a, ax in zip(args, in_axes) if ax == 0)
+        outs = [
+            fn(*[a if ax is None else
+                 jax.tree_util.tree_map(lambda x: x[i], a)
+                 for a, ax in zip(args, in_axes)]) for i in range(b)
+        ]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+
+    return wrapped
+
+
 class SparseTensor(NamedTuple):
     """One sparse level for one sample.
 
@@ -82,13 +104,8 @@ def from_points(points_xyz: jax.Array, feats: jax.Array, mask: jax.Array,
     """
     coords = jnp.floor(points_xyz / voxel_size).astype(jnp.int32)
     uniq = unique_coords(coords, mask, capacity)
-    # representative = first occurrence: scatter with "first wins" via min-index
-    n = coords.shape[0]
-    slot = jnp.where(uniq.inverse >= 0, uniq.inverse, capacity)
-    first_idx = jnp.full((capacity + 1,), n, jnp.int32).at[slot].min(
-        jnp.arange(n, dtype=jnp.int32))[:capacity]
-    take = jnp.clip(first_idx, 0, n - 1)
-    out_feats = jnp.where(uniq.mask[:, None], feats[take], 0)
+    # representative = first occurrence (uniq.rows, no scatter needed)
+    out_feats = jnp.where(uniq.mask[:, None], feats[uniq.rows], 0)
     return SparseTensor(uniq.coords, out_feats, uniq.mask)
 
 
@@ -145,6 +162,55 @@ def gather_matmul_conv(feats: jax.Array, mask: jax.Array, nbr: jax.Array,
     if bias is not None:
         out = out + bias
     return out
+
+
+@jax.custom_vjp
+def subm_gather_conv(feats: jax.Array, mask: jax.Array, nbr: jax.Array,
+                     weights: jax.Array) -> jax.Array:
+    """Submanifold conv core with a gather-only backward.
+
+    Same forward as :func:`gather_matmul_conv` restricted to the
+    submanifold case (in/out share coords, so ``nbr`` is (N, K) with K
+    mirror-symmetric offsets). XLA's autodiff of a gather is a scatter-add,
+    which runs element-by-element on TPU; here the cotangent w.r.t.
+    ``feats`` is computed as ANOTHER gather conv with the mirrored table
+    (``nbr[:, ::-1]``-equivalent: who gathers row j at offset k is exactly
+    row ``nbr[j, K-1-k]``), keeping the backward in the fast gather+MXU
+    regime.
+    """
+    return gather_matmul_conv(feats, mask, nbr, weights)
+
+
+def _subm_fwd(feats, mask, nbr, weights):
+    return subm_gather_conv(feats, mask, nbr, weights), (feats, mask, nbr,
+                                                         weights)
+
+
+def _subm_bwd(res, dout):
+    feats, mask, nbr, weights = res
+    k = weights.shape[0]
+    # d/dfeats: sum_k dout[nbr[:, k']] @ W[K-1-k'].T  (gather, no scatter)
+    w_t = jnp.transpose(weights[::-1], (0, 2, 1))
+    dfeats = gather_matmul_conv(dout, mask, nbr, w_t)
+    dfeats = jnp.where(mask[:, None], dfeats, 0).astype(feats.dtype)
+    # d/dW[k]: gathered_k^T @ dout (recompute the gathers; no residuals)
+    n, cin = feats.shape
+    safe = jnp.where(mask[:, None], feats, 0)
+    if CONV_COMPUTE_DTYPE is not None:
+        safe = safe.astype(CONV_COMPUTE_DTYPE)
+    padded = jnp.concatenate([safe, jnp.zeros((1, cin), safe.dtype)])
+    idx = jnp.where(nbr >= 0, nbr, n)
+    douts = dout.astype(padded.dtype)
+    dw = jnp.stack([
+        jax.lax.dot_general(padded[idx[:, j]], douts,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for j in range(k)
+    ]).astype(weights.dtype)
+    return dfeats, None, None, dw
+
+
+subm_gather_conv.defvjp(_subm_fwd, _subm_bwd)
 
 
 def subm_conv(st: SparseTensor, weights: jax.Array,
@@ -272,15 +338,18 @@ def generative_transpose2(st: SparseTensor, weights: jax.Array,
                          child_mask), parent_index)
 
 
-def scatter_sum_into(dst: SparseTensor, src: SparseTensor) -> SparseTensor:
+def scatter_sum_into(dst: SparseTensor, src: SparseTensor,
+                     idx: jax.Array | None = None) -> SparseTensor:
     """Add ``src`` features into ``dst`` rows with matching coordinates.
 
     Used by the FPN lateral sum (``x = inputs[i] + up_block(x)``,
     fcaf3d_head.py:1010-1013). Source voxels with no matching destination
     coordinate are dropped (in the FPN they cannot occur: backbone coords are
-    always children of the coarser level's coords).
+    always children of the coarser level's coords). ``idx`` may carry the
+    precomputed ``lookup_merge(dst, src.coords)`` result (sort fusion).
     """
-    idx = lookup_merge(dst.coords, dst.mask, src.coords, src.mask)
+    if idx is None:
+        idx = lookup_merge(dst.coords, dst.mask, src.coords, src.mask)
     slot = jnp.where(idx >= 0, idx, dst.capacity)
     add = jnp.where((idx >= 0)[:, None] & src.mask[:, None], src.feats, 0)
     feats = jnp.concatenate(
@@ -332,12 +401,21 @@ def to_dense(st: SparseTensor, origin: jax.Array,
     return vol[:-1].reshape(gx, gy, gz, c)
 
 
+def interp_queries(query_xyz: jax.Array) -> jax.Array:
+    """(Q, 8, 3) integer corner coordinates for trilinear interpolation."""
+    base = jnp.floor(query_xyz).astype(jnp.int32)
+    return base[:, None, :] + jnp.asarray(OFFSETS_2)[None]
+
+
 def interpolate_trilinear(st: SparseTensor, query_xyz: jax.Array,
-                          query_mask: jax.Array) -> jax.Array:
+                          query_mask: jax.Array,
+                          idx: jax.Array | None = None) -> jax.Array:
     """Trilinear interpolation of sparse features at float lattice coords.
 
     Equivalent of ME ``features_at_coordinates`` used by FPN pruning
-    (fcaf3d_head.py:287-292). Absent neighbors contribute zero.
+    (fcaf3d_head.py:287-292). Absent neighbors contribute zero. ``idx`` may
+    carry the precomputed (Q, 8) corner lookup (``interp_queries`` result
+    against ``st`` — sort fusion).
     """
     base = jnp.floor(query_xyz).astype(jnp.int32)
     frac = query_xyz - base
@@ -347,9 +425,10 @@ def interpolate_trilinear(st: SparseTensor, query_xyz: jax.Array,
     padded = jnp.concatenate([safe, jnp.zeros((1, st.feats.shape[1]),
                                               st.feats.dtype)])
     offs = jnp.asarray(OFFSETS_2)  # (8, 3)
-    q8 = (base[:, None, :] + offs[None]).reshape(-1, 3)
-    idx = lookup_merge(st.coords, st.mask, q8,
-                       jnp.repeat(query_mask, 8)).reshape(nq, 8)
+    if idx is None:
+        q8 = (base[:, None, :] + offs[None]).reshape(-1, 3)
+        idx = lookup_merge(st.coords, st.mask, q8,
+                           jnp.repeat(query_mask, 8)).reshape(nq, 8)
     w = jnp.prod(jnp.where(offs[None] == 1, frac[:, None, :],
                            1 - frac[:, None, :]), axis=-1)  # (nq, 8)
     gathered = padded[jnp.where(idx >= 0, idx, n)]  # (nq, 8, C)
