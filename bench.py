@@ -96,8 +96,10 @@ def run(scale: str):
     if os.environ.get('BENCH_SPARSE_BF16', '0') == '1':
         from embodiedscan_tpu.ops import sparse as _S
         _S.set_conv_compute_dtype(_jnp.bfloat16)
+    # bf16 image branch is the shipping TPU config (+4.5% measured; geometry
+    # and the sparse path stay f32) — BENCH_IMG_BF16=0 reverts
     img_dtype = _jnp.bfloat16 \
-        if os.environ.get('BENCH_IMG_BF16', '0') == '1' else _jnp.float32
+        if os.environ.get('BENCH_IMG_BF16', '1') == '1' else _jnp.float32
     model = SparseFusionDetector(
         num_classes=cfg['classes'],
         voxel_size=0.01,

@@ -42,7 +42,7 @@ class SparseConv(nn.Module):
     use_bias: bool = False
 
     @nn.compact
-    def __call__(self, feats, mask, nbr, out_mask=None):
+    def __call__(self, feats, mask, nbr, out_mask=None, t_nbr=None):
         cin = feats.shape[-1]
         w = self.param('kernel', kaiming_out,
                        (self.kernel_size, cin, self.features))
@@ -52,6 +52,13 @@ class SparseConv(nn.Module):
             # submanifold: mirror-symmetric table -> gather-only backward
             out = jax.vmap(S.subm_gather_conv,
                            in_axes=(0, 0, 0, None))(feats, mask, nbr, w)
+            if b is not None:
+                out = out + b
+        elif t_nbr is not None:
+            # strided with precomputed transpose table -> gather backward
+            out = jax.vmap(S.strided_gather_conv,
+                           in_axes=(0, 0, 0, 0, None))(feats, mask, nbr,
+                                                       t_nbr, w)
             if b is not None:
                 out = out + b
         else:
@@ -77,29 +84,43 @@ def strided_queries(st: S.SparseTensor, dmap: S.DownsampleMap,
                                      dmap.mask)
 
 
-def stage_tables(st: S.SparseTensor, dmap: S.DownsampleMap
-                 ) -> Tuple[jax.Array, jax.Array]:
-    """Fused (strided, submanifold) neighbor tables for one ResNet stage.
+def stage_tables(st: S.SparseTensor, dmap: S.DownsampleMap,
+                 with_transpose: bool = False):
+    """Fused (strided, submanifold[, transpose]) tables for one ResNet stage.
 
-    Both tables depend only on the fine coords and the downsample result, so
-    their four sorts fuse into two (``lookup_merge_multi``): the strided conv
-    gathers fine rows at ``2*o + k`` and every later submanifold conv in the
-    stage gathers coarse rows at ``o + k``.
+    All tables depend only on the fine coords and the downsample result, so
+    their sorts fuse into two (``lookup_merge_multi``): the strided conv
+    gathers fine rows at ``2*o + k``, every later submanifold conv in the
+    stage gathers coarse rows at ``o + k``, and (training only) the strided
+    conv's backward gathers coarse rows at ``(j - k) / 2`` — the transpose
+    table consumed by ``strided_gather_conv``.
     """
     from ..ops.hashing import lookup_merge_multi
     offs = jnp.asarray(S.OFFSETS_3)
 
     def one(fc, fm, cc, cm):
         m = cc.shape[0]
+        n = fc.shape[0]
         sq = (cc[:, None, :] * 2 + offs[None]).reshape(-1, 3)
         nq = (cc[:, None, :] + offs[None]).reshape(-1, 3)
         qm = jnp.repeat(cm, offs.shape[0])
-        s_idx, n_idx = lookup_merge_multi([(fc, fm, sq, qm),
-                                           (cc, cm, nq, qm)])
-        return s_idx.reshape(m, -1), n_idx.reshape(m, -1)
+        pairs = [(fc, fm, sq, qm), (cc, cm, nq, qm)]
+        if with_transpose:
+            tq = fc[:, None, :] - offs[None]  # (N, 27, 3)
+            even = jnp.all(tq % 2 == 0, axis=-1).reshape(-1)
+            tqm = jnp.repeat(fm, offs.shape[0]) & even
+            pairs.append((cc, cm, jnp.floor_divide(tq, 2).reshape(-1, 3),
+                          tqm))
+        res = lookup_merge_multi(pairs)
+        s_idx = res[0].reshape(m, -1)
+        n_idx = res[1].reshape(m, -1)
+        if with_transpose:
+            return s_idx, n_idx, res[2].reshape(n, -1)
+        return s_idx, n_idx, jnp.zeros((n, offs.shape[0]), jnp.int32)
 
-    return S.bmap(one, (0, 0, 0, 0))(st.coords, st.mask, dmap.coords,
-                                     dmap.mask)
+    out = S.bmap(one, (0, 0, 0, 0))(st.coords, st.mask, dmap.coords,
+                                    dmap.mask)
+    return out if with_transpose else (out[0], out[1], None)
 
 
 def fpn_tables(up: S.SparseTensor, lateral: S.SparseTensor,
@@ -200,11 +221,12 @@ class SparseStage(nn.Module):
         expansion = 1 if self.block == 'basic' else 4
         cout = self.features * expansion
         dmap = bdownsample(st, self.capacity)
-        # strided + submanifold tables share one fused sort
-        s_nbr, nbr = stage_tables(st, dmap)
+        # strided + submanifold (+ transpose for backward) tables share one
+        # fused sort; the transpose table is only built when training
+        s_nbr, nbr, t_nbr = stage_tables(st, dmap, with_transpose=train)
         if self.block == 'basic':
             out = SparseConv(self.features)(st.feats, st.mask, s_nbr,
-                                            out_mask=dmap.mask)
+                                            out_mask=dmap.mask, t_nbr=t_nbr)
             out = MaskedBatchNorm()(out, dmap.mask,
                                     use_running_average=not train)
             out = nn.relu(out)
@@ -219,7 +241,7 @@ class SparseStage(nn.Module):
                                     use_running_average=not train)
             out = nn.relu(jnp.where(st.mask[..., None], out, 0))
             out = SparseConv(self.features)(out, st.mask, s_nbr,
-                                            out_mask=dmap.mask)
+                                            out_mask=dmap.mask, t_nbr=t_nbr)
             out = MaskedBatchNorm()(out, dmap.mask,
                                     use_running_average=not train)
             out = nn.relu(out)

@@ -213,6 +213,56 @@ def _subm_bwd(res, dout):
 subm_gather_conv.defvjp(_subm_fwd, _subm_bwd)
 
 
+@jax.custom_vjp
+def strided_gather_conv(feats: jax.Array, mask: jax.Array, nbr: jax.Array,
+                        t_nbr: jax.Array, weights: jax.Array) -> jax.Array:
+    """Strided conv core with a gather-only backward.
+
+    Forward: ``sum_k feats[nbr[:, k]] @ W[k]`` over coarse outputs (same as
+    :func:`gather_matmul_conv`). ``t_nbr`` is the TRANSPOSE table, (N_in, K)
+    int32: ``t_nbr[j, k]`` is the coarse output row that gathers fine row
+    ``j`` at offset ``k`` (i.e. the row of ``(coords_in[j] - off_k) / 2``
+    when divisible, else -1). The cotangent w.r.t. ``feats`` then becomes a
+    gather conv over ``t_nbr`` with transposed weights — XLA's default
+    scatter-add backward runs element-by-element on TPU.
+    """
+    del t_nbr
+    return gather_matmul_conv(feats, mask, nbr, weights)
+
+
+def _strided_fwd(feats, mask, nbr, t_nbr, weights):
+    return (gather_matmul_conv(feats, mask, nbr, weights),
+            (feats, mask, nbr, t_nbr, weights))
+
+
+def _strided_bwd(res, dout):
+    feats, mask, nbr, t_nbr, weights = res
+    k = weights.shape[0]
+    m = dout.shape[0]
+    w_t = jnp.transpose(weights, (0, 2, 1))
+    # dout is indexed by coarse rows; gather it via the transpose table
+    dmask = jnp.ones((m,), bool)
+    dfeats = gather_matmul_conv(dout, dmask, t_nbr, w_t)
+    dfeats = jnp.where(mask[:, None], dfeats, 0).astype(feats.dtype)
+    n, cin = feats.shape
+    safe = jnp.where(mask[:, None], feats, 0)
+    if CONV_COMPUTE_DTYPE is not None:
+        safe = safe.astype(CONV_COMPUTE_DTYPE)
+    padded = jnp.concatenate([safe, jnp.zeros((1, cin), safe.dtype)])
+    idx = jnp.where(nbr >= 0, nbr, n)
+    douts = dout.astype(padded.dtype)
+    dw = jnp.stack([
+        jax.lax.dot_general(padded[idx[:, j]], douts,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for j in range(k)
+    ]).astype(weights.dtype)
+    return dfeats, None, None, None, dw
+
+
+strided_gather_conv.defvjp(_strided_fwd, _strided_bwd)
+
+
 def subm_conv(st: SparseTensor, weights: jax.Array,
               bias: jax.Array | None = None,
               nbr: jax.Array | None = None) -> SparseTensor:

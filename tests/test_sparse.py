@@ -218,3 +218,64 @@ class TestConv:
         for j in np.where(m)[0]:
             src = lut.get(tuple(2 * oc[j]), np.zeros(3, np.float32))
             np.testing.assert_allclose(got[j], src @ w[0], atol=1e-5)
+
+
+class TestCustomVJPs:
+    """The gather-only conv backwards must match XLA autodiff exactly."""
+
+    def test_subm_gather_conv_vjp(self):
+        rng = np.random.RandomState(7)
+        raw = rng.randint(-10, 10, (900, 3)).astype(np.int32)
+        u = H.unique_coords(jnp.asarray(raw), jnp.ones(900, bool), 768)
+        mask = u.mask
+        feats = jnp.asarray(rng.randn(768, 16).astype(np.float32))
+        nbr = S.neighbor_table(S.SparseTensor(u.coords, None, mask),
+                               S.OFFSETS_3)
+        w = jnp.asarray((rng.randn(27, 16, 8) * 0.1).astype(np.float32))
+        ct = jnp.asarray(rng.randn(768, 8).astype(np.float32))
+
+        def f_ref(f, ww):
+            return jnp.sum(S.gather_matmul_conv(f, mask, nbr, ww) * ct)
+
+        def f_new(f, ww):
+            return jnp.sum(S.subm_gather_conv(f, mask, nbr, ww) * ct)
+
+        gr = jax.grad(f_ref, argnums=(0, 1))(feats, w)
+        gn = jax.grad(f_new, argnums=(0, 1))(feats, w)
+        np.testing.assert_allclose(np.asarray(gr[0]), np.asarray(gn[0]),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gr[1]), np.asarray(gn[1]),
+                                   atol=1e-4)
+
+    def test_strided_gather_conv_vjp(self):
+        from embodiedscan_tpu.models.sparse_nn import stage_tables
+        rng = np.random.RandomState(8)
+        raw = rng.randint(-12, 12, (1200, 3)).astype(np.int32)
+        u = H.unique_coords(jnp.asarray(raw), jnp.ones(1200, bool), 1024)
+        st = S.SparseTensor(u.coords[None], jnp.asarray(
+            rng.randn(1, 1024, 12).astype(np.float32)), u.mask[None])
+        dmap = S.bmap(lambda c, m: S.downsample_coords(
+            S.SparseTensor(c, None, m), 512), (0, 0))(st.coords, st.mask)
+        s_nbr, nbr, t_nbr = stage_tables(st, dmap, with_transpose=True)
+        w = jnp.asarray((rng.randn(27, 12, 6) * 0.1).astype(np.float32))
+        ct = jnp.asarray(rng.randn(1, 512, 6).astype(np.float32))
+        omask = dmap.mask
+
+        def f_ref(f, ww):
+            out = jax.vmap(S.gather_matmul_conv, in_axes=(0, 0, 0, None))(
+                f, st.mask, s_nbr, ww)
+            return jnp.sum(jnp.where(omask[..., None], out, 0) * ct)
+
+        def f_new(f, ww):
+            out = jax.vmap(S.strided_gather_conv,
+                           in_axes=(0, 0, 0, 0, None))(f, st.mask, s_nbr,
+                                                       t_nbr, ww)
+            return jnp.sum(jnp.where(omask[..., None], out, 0) * ct)
+
+        assert abs(float(f_ref(st.feats, w) - f_new(st.feats, w))) < 1e-4
+        gr = jax.grad(f_ref, argnums=(0, 1))(st.feats, w)
+        gn = jax.grad(f_new, argnums=(0, 1))(st.feats, w)
+        np.testing.assert_allclose(np.asarray(gr[0]), np.asarray(gn[0]),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gr[1]), np.asarray(gn[1]),
+                                   atol=1e-4)
