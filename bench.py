@@ -90,6 +90,15 @@ def run(scale: str):
     cfg = cfgs[scale]
     # experiment knobs (default = shipping config)
     cfg['b'] = int(os.environ.get('BENCH_B', cfg['b']))
+    if 'BENCH_BMAP' in os.environ:
+        from embodiedscan_tpu.ops import sparse as _SS
+        _SS.set_bmap_mode(os.environ['BENCH_BMAP'])
+    elif cfg['b'] > 1:
+        # b>1: one rolled traced copy of the per-sample sort pipelines
+        # (HLO size stays flat in b; unrolling b copies of the full-scale
+        # coordinate engine exhausts XLA compile memory on this host)
+        from embodiedscan_tpu.ops import sparse as _SS
+        _SS.set_bmap_mode('scan')
     remat = {'0': False, '1': True}.get(os.environ.get('BENCH_REMAT', '0'),
                                         os.environ.get('BENCH_REMAT'))
     import jax.numpy as _jnp
@@ -119,8 +128,21 @@ def run(scale: str):
     state = create_train_state(model, variables, tx)
     step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
 
-    state, metrics = step(state, batch)  # compile + warmup
+    # lower+compile explicitly so the executable's own FLOP count is
+    # available for MFU (cost_analysis counts matmul/conv FLOPs; gathers
+    # count ~0, matching the "conv cost = gather cost" PERF.md model)
+    lowered = step.lower(state, batch)
+    compiled = lowered.compile()
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        step_flops = float(ca.get('flops', 0.0))
+    except Exception:  # noqa: BLE001 - cost analysis is best-effort
+        step_flops = 0.0
+
+    state, metrics = compiled(state, batch)  # warmup execution
     loss = float(metrics['loss_total'])  # full sync (value fetch)
+    step = compiled
     # settle: the remote runtime's FIRST execution of a fresh executable has
     # a large one-time cost that can bleed into the next few dispatches;
     # run a few more synced iterations before timing
@@ -136,19 +158,25 @@ def run(scale: str):
         # chain — value fetches are the honest sync point
         loss = float(metrics['loss_total'])
     dt = (time.time() - t0) / n_iter
-    return cfg['b'] / dt, loss
+    # MFU vs the v5e bf16 peak (197 TFLOP/s). The image branch runs bf16,
+    # the sparse branch f32; XLA's flops estimate is dtype-agnostic, so
+    # this is a *lower bound* on utilization vs the mixed-precision peak.
+    V5E_PEAK_FLOPS = 197e12
+    mfu = (step_flops / dt) / V5E_PEAK_FLOPS if step_flops else None
+    return cfg['b'] / dt, loss, mfu, cfg['b']
 
 
 def main():
     for scale in (os.environ.get('BENCH_SCALE', 'full'), 'small'):
         try:
-            scenes_per_sec, loss = run(scale)
+            scenes_per_sec, loss, mfu, b = run(scale)
             print(json.dumps({
-                'metric': f'mv-det3d train scenes/sec/chip ({scale})',
+                'metric': f'mv-det3d train scenes/sec/chip ({scale}, b={b})',
                 'value': round(scenes_per_sec, 4),
                 'unit': 'scenes/sec',
                 'vs_baseline': round(scenes_per_sec / BASELINE_SCENES_PER_SEC,
                                      3),
+                'mfu_vs_bf16_peak': round(mfu, 4) if mfu is not None else None,
             }))
             return
         except Exception as e:  # noqa: BLE001 - fall back to smaller scale

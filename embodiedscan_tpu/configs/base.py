@@ -65,6 +65,9 @@ class DataConfig:
     max_occ_voxels: int = 16384
     repeat_times: int = 1
     synthetic: bool = False  # use the synthetic fixture instead of disk data
+    # local dir with RoBERTa vocab files (vocab.json/merges.txt); '' = the
+    # offline hash tokenizer (reference: RobertaTokenizerFast, grounder:108)
+    tokenizer_path: str = ''
 
 
 @dataclasses.dataclass
@@ -99,6 +102,8 @@ class ModelConfig:
     # occupancy
     occ_classes: int = 81
     n_voxels: Sequence[int] = (40, 40, 16)
+    # PointsRangeFilter bound + sparse-branch origin (mv-occ...py:6)
+    point_cloud_range: Sequence[float] = (-3.2, -3.2, -0.78, 3.2, 3.2, 1.78)
     occ_fpn_channels: int = 256
     occ_pre_neck_channels: int = 0
     resnet_base_channels: int = 64
@@ -245,6 +250,7 @@ def build_model(cfg: Config):
         return DenseFusionOccPredictor(
             num_classes=m.occ_classes,
             n_voxels=tuple(m.n_voxels),
+            point_cloud_range=tuple(m.point_cloud_range),
             input_capacity=m.input_capacity,
             backbone_capacities=tuple(m.backbone_capacities),
             resnet_depth=m.resnet_depth,

@@ -17,7 +17,7 @@ the same static-shape packed samples as the synthetic fixture.
 import json
 import os
 import pickle
-from typing import Dict, Iterator, List
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
@@ -31,6 +31,30 @@ def load_info_pkl(path: str):
     if isinstance(data, dict) and 'data_list' in data:
         return data['data_list'], data.get('metainfo', {})
     return data, {}
+
+
+def occ_ann_paths(sample_idx: str) -> tuple:
+    """Occupancy gt + per-view visibility paths for a scan id.
+
+    Mirrors the per-source layout of embodiedscan_dataset.py:200-231:
+    scannet/3rscan store occupancy.npy + visible_occupancy.pkl under the
+    region dir; matterport3d suffixes the region name; arkitscenes has none.
+    """
+    parts = sample_idx.split('/')
+    ds = parts[0]
+    if ds == 'scannet' and len(parts) >= 2:
+        base = os.path.join(ds, 'scans', parts[1], 'occupancy')
+        return (os.path.join(base, 'occupancy.npy'),
+                os.path.join(base, 'visible_occupancy.pkl'))
+    if ds == '3rscan' and len(parts) >= 2:
+        base = os.path.join(ds, parts[1], 'occupancy')
+        return (os.path.join(base, 'occupancy.npy'),
+                os.path.join(base, 'visible_occupancy.pkl'))
+    if ds == 'matterport3d' and len(parts) >= 3:
+        base = os.path.join(ds, parts[1], 'occupancy')
+        return (os.path.join(base, f'occupancy_{parts[2]}.npy'),
+                os.path.join(base, f'visible_occupancy_{parts[2]}.pkl'))
+    return None, None
 
 
 def parse_scan(info: dict, data_root: str) -> dict:
@@ -58,9 +82,12 @@ def parse_scan(info: dict, data_root: str) -> dict:
     for i, inst in enumerate(info.get('instances', [])):
         boxes[i] = np.asarray(inst['bbox_3d'], np.float32)
         labels[i] = inst['bbox_label_3d']
+    occ_path, occ_mask_path = occ_ann_paths(info['sample_idx'])
     return dict(scan_id=info['sample_idx'], views=views,
                 depth_shift=depth_shift, gt_boxes=boxes, gt_labels=labels,
-                occupancy_path=info.get('occupancy_path'))
+                occupancy_path=info.get('occupancy_path', occ_path),
+                visible_occupancy_path=info.get('visible_occupancy_path',
+                                                occ_mask_path))
 
 
 def load_occupancy_gt(scan: dict, data_root: str,
@@ -87,6 +114,32 @@ def load_occupancy_gt(scan: dict, data_root: str,
     out[:n] = occ[:n]
     mask[:n] = True
     return out, mask
+
+
+def load_visible_occupancy(scan: dict, data_root: str,
+                           view_ids) -> Optional[List[np.ndarray]]:
+    """Per-selected-view dense (X, Y, Z) visibility masks, or None.
+
+    The reference stores a per-image list of dicts with a
+    ``visible_occupancy`` dense bool grid (embodiedscan_dataset.py:244-252,
+    visible_occupancy.pkl); the loss marks voxels outside the mask as 255
+    (occ_loss.py:33-34).
+    """
+    path = scan.get('visible_occupancy_path')
+    if not path:
+        return None
+    full = os.path.join(data_root, path)
+    if not os.path.exists(full):
+        return None
+    with open(full, 'rb') as f:
+        per_view = pickle.load(f)
+    out = []
+    for i in view_ids:
+        entry = per_view[int(i)]
+        mask = entry['visible_occupancy'] if isinstance(entry, dict) else \
+            entry
+        out.append(np.asarray(mask, bool))
+    return out
 
 
 def load_view(view: dict, depth_shift: float, image_hw) -> dict:
@@ -121,6 +174,11 @@ class EmbodiedScanLoader:
         ann = d.ann_file if train else d.val_ann_file
         self.infos, self.metainfo = load_info_pkl(
             os.path.join(d.data_root, ann))
+        # eval-report wiring (reference det_metric.py:93-97): categories is
+        # a name -> label dict in the info metainfo
+        cats = self.metainfo.get('categories') or {}
+        self.label2cat = {v: k for k, v in cats.items()} or None
+        self.classes_split = self.metainfo.get('classes_split')
         self.batch_size = d.batch_size if train else 1
         if cfg.model.task == 'mv_grounding' and d.vg_file:
             with open(os.path.join(d.data_root, d.vg_file)) as f:
@@ -133,12 +191,13 @@ class EmbodiedScanLoader:
 
     def _build_sample(self, info: dict, seed: int) -> Dict[str, np.ndarray]:
         d = self.cfg.data
+        task = self.cfg.model.task
         rng = np.random.RandomState(seed)
         scan = parse_scan(info, d.data_root)
         n_views = d.n_views_train if self.train else d.n_views_test
         ids = pl.select_views(len(scan['views']), n_views,
                               ordered=not self.train, rng=rng)
-        pts_list, exts, ks, imgs = [], [], [], []
+        pts_list, exts, ks, imgs, vis_ids = [], [], [], [], []
         for i in ids:
             view = load_view(scan['views'][i], scan['depth_shift'],
                              tuple(d.image_hw))
@@ -148,24 +207,65 @@ class EmbodiedScanLoader:
             ks.append(view['intrinsic'])
             imgs.append(pl.normalize_imgs(view['rgb'][None],
                                           bgr_to_rgb=False)[0])
-        points = pl.aggregate_points(pts_list, exts)
+            vis_ids.append(scan['views'][i]['visible_instance_ids'])
+        view_pts = pl.aggregate_points_list(pts_list, exts)
         boxes, labels = scan['gt_boxes'], scan['gt_labels']
+
+        occ_task = task in ('mv_occ', 'cont_occ')
+        if occ_task:
+            # PointsRangeFilter before voxelization (occ configs, reference
+            # points.py:226); per-view filtering == the reference's
+            # aggregated filter, and keeps sweep slice boundaries intact
+            pcr = tuple(self.cfg.model.point_cloud_range)
+            filtered = [pl.points_range_filter(p, pcr) for p in view_pts]
+            if sum(len(p) for p in filtered) >= 100:
+                view_pts = filtered
+
         aug = None
         if self.train:
-            if self.cfg.model.task in ('mv_det3d', 'cont_det3d'):
+            sizes = np.cumsum([len(p) for p in view_pts])[:-1]
+            points = np.concatenate(view_pts)
+            if task in ('mv_det3d', 'cont_det3d'):
                 points, boxes, fmat = pl.random_flip(points, boxes, rng)
             else:
                 fmat = np.eye(4, dtype=np.float32)
             points, boxes, rmat = pl.global_rot_scale_trans(
                 points, boxes, rng)
             aug = rmat @ fmat
-        sample = pl.pack_sample(points, np.stack(imgs), ks, exts, boxes,
-                                labels, aug, d.n_points, d.max_boxes, rng)
-        if self.cfg.model.task in ('mv_occ', 'cont_occ'):
+            view_pts = np.split(points, sizes)
+
+        if task in ('cont_det3d', 'cont_occ'):
+            occ_vis = load_visible_occupancy(scan, d.data_root, ids) \
+                if occ_task else None
+            sample = pl.pack_sweeps(view_pts, vis_ids, np.stack(imgs), ks,
+                                    exts, boxes, labels, aug, d.n_points,
+                                    d.max_boxes, rng, occ_visible=occ_vis)
+            v = sample['points'].shape[0]
+            if occ_task:
+                occ, occ_mask = load_occupancy_gt(scan, d.data_root,
+                                                  d.max_occ_voxels)
+                sample['gt_occ'] = np.tile(occ[None], (v, 1, 1))
+                sample['gt_occ_mask'] = np.tile(occ_mask[None], (v, 1))
+            return sample
+
+        sample = pl.pack_sample(np.concatenate(view_pts), np.stack(imgs), ks,
+                                exts, boxes, labels, aug, d.n_points,
+                                d.max_boxes, rng)
+        if occ_task:
             occ, occ_mask = load_occupancy_gt(scan, d.data_root,
                                               d.max_occ_voxels)
             sample['gt_occ'] = occ
             sample['gt_occ_mask'] = occ_mask
+            occ_vis = load_visible_occupancy(scan, d.data_root, ids)
+            if occ_vis is not None:
+                # ConstructMultiViewMasks: one cumulative mask over the
+                # selected views (multiview.py:250-273; the reference's loop
+                # skips the last view — an apparent off-by-one we do not
+                # reproduce)
+                m = occ_vis[0].astype(bool)
+                for vm in occ_vis[1:]:
+                    m = m | vm.astype(bool)
+                sample['visible_mask'] = m
         return sample
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -177,6 +277,8 @@ class EmbodiedScanLoader:
                 idx = rng.permutation(epoch_len) % len(order)
             else:
                 idx = order
+            collate = pl.collate_sweeps if self.cfg.model.task in (
+                'cont_det3d', 'cont_occ') else pl.collate
             for start in range(0, len(idx) - self.batch_size + 1,
                                self.batch_size):
                 chunk = idx[start:start + self.batch_size]
@@ -185,7 +287,7 @@ class EmbodiedScanLoader:
                                        int(rng.randint(1 << 30)))
                     for i in chunk
                 ]
-                yield pl.collate(samples)
+                yield collate(samples)
             if not self.train:
                 return
 
@@ -264,12 +366,14 @@ class GroundingLoader(EmbodiedScanLoader):
 
     def __init__(self, cfg: Config, train: bool):
         super().__init__(cfg, train)
-        import json as _json
-        with open(os.path.join(cfg.data.data_root, cfg.data.vg_file)) as f:
-            vg = _json.load(f)
-        self.records = join_vg_annotations(self.infos, vg)
-        from ..models.text import SimpleTokenizer
-        self.tokenizer = SimpleTokenizer(max_len=cfg.model.max_text_len)
+        if self.vg is None:
+            with open(os.path.join(cfg.data.data_root,
+                                   cfg.data.vg_file)) as f:
+                self.vg = json.load(f)
+        self.records = join_vg_annotations(self.infos, self.vg)
+        from ..models.text import get_tokenizer
+        self.tokenizer = get_tokenizer(cfg.data.tokenizer_path,
+                                       max_len=cfg.model.max_text_len)
         self.steps_per_epoch = max(1, len(self.records) // self.batch_size)
 
     def _build_vg_sample(self, rec: dict, seed: int):

@@ -32,35 +32,49 @@ class SyntheticLoader:
             for i in range(n_scans)
         ]
 
+    def _synthetic_occ(self, seed, m=256):
+        rng = np.random.RandomState(seed)
+        nx, ny, nz = self.cfg.model.n_voxels
+        occ = np.concatenate([
+            rng.randint(0, nx, (m, 1)),
+            rng.randint(0, ny, (m, 1)),
+            rng.randint(0, nz, (m, 1)),
+            rng.randint(1, self.cfg.model.occ_classes, (m, 1))
+        ], -1).astype(np.float32)
+        return occ, np.ones(m, bool)
+
     def _sample(self, scan, seed):
-        from .synthetic import scan_to_batch
+        from .synthetic import scan_to_batch, scan_to_sweeps
         d = self.cfg.data
+        task = self.cfg.model.task
+        n_views = d.n_views_train if self.train else \
+            min(d.n_views_test, len(scan['views']))
+        if task in ('cont_det3d', 'cont_occ'):
+            # continuous pseudo-batch: 1..V cumulative sweeps sharing one
+            # image set (ConstructMultiSweeps + embodied_det3d.py:109-160)
+            occ_shape = tuple(self.cfg.model.n_voxels) \
+                if task == 'cont_occ' else None
+            sample = scan_to_sweeps(
+                scan, n_views=n_views, num_points=d.n_points,
+                num_boxes=d.max_boxes, seed=seed, train=self.train,
+                points_per_view=d.points_per_view, occ_shape=occ_shape)
+            if task == 'cont_occ':
+                occ, occ_mask = self._synthetic_occ(seed)
+                v = sample['points'].shape[0]
+                sample['gt_occ'] = np.tile(occ[None], (v, 1, 1))
+                sample['gt_occ_mask'] = np.tile(occ_mask[None], (v, 1))
+            return sample
         sample = scan_to_batch(
-            scan, n_views=d.n_views_train if self.train else
-            min(d.n_views_test, len(scan['views'])),
+            scan, n_views=n_views,
             num_points=d.n_points, num_boxes=d.max_boxes, seed=seed,
             train=self.train, points_per_view=d.points_per_view)
-        if self.cfg.model.task in ('cont_det3d', 'cont_occ'):
-            # continuous pseudo-batch element: mask a random sweep prefix
-            # of the views (construct_multi_sweeps semantics)
-            rng = np.random.RandomState(seed + 1)
-            v = sample['view_mask'].shape[0]
-            keep = rng.randint(1, v + 1)
-            vm = np.zeros(v, bool)
-            vm[:keep] = True
-            sample['view_mask'] = vm
-        if self.cfg.model.task in ('mv_occ', 'cont_occ'):
-            rng = np.random.RandomState(seed)
-            m = 256
-            nx, ny, nz = self.cfg.model.n_voxels
-            occ = np.concatenate([
-                rng.randint(0, nx, (m, 1)),
-                rng.randint(0, ny, (m, 1)),
-                rng.randint(0, nz, (m, 1)),
-                rng.randint(1, self.cfg.model.occ_classes, (m, 1))
-            ], -1).astype(np.float32)
+        if task == 'mv_occ':
+            occ, occ_mask = self._synthetic_occ(seed)
             sample['gt_occ'] = occ
-            sample['gt_occ_mask'] = np.ones(m, bool)
+            sample['gt_occ_mask'] = occ_mask
+            rng = np.random.RandomState(seed + 2)
+            sample['visible_mask'] = \
+                rng.rand(*self.cfg.model.n_voxels) > 0.2
         if self.cfg.model.task == 'mv_grounding':
             from ..models.text import SimpleTokenizer, build_positive_maps
             tok = SimpleTokenizer(max_len=self.cfg.model.max_text_len)
@@ -76,13 +90,15 @@ class SyntheticLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.RandomState(0 if not self.train else None)
+        collate = pl.collate_sweeps if self.cfg.model.task in (
+            'cont_det3d', 'cont_occ') else pl.collate
         while True:
             idx = rng.randint(0, self.n_scans, self.batch_size)
             samples = [
                 self._sample(self._scans[i], int(rng.randint(1 << 30)))
                 for i in idx
             ]
-            yield pl.collate(samples)
+            yield collate(samples)
             if not self.train:
                 # single pass over scans for eval
                 self._eval_count = getattr(self, '_eval_count', 0) + 1

@@ -12,7 +12,7 @@ projection-based fusion (replacing ``apply_3d_transformation``'s op-by-op
 reversal — all reference aug ops are linear).
 """
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -68,18 +68,25 @@ def point_sample(points: np.ndarray, num: int,
     return points[idx]
 
 
-def aggregate_points(points_list: List[np.ndarray],
-                     extrinsics: List[np.ndarray]) -> np.ndarray:
-    """Per-view ego points -> global frame (reference multiview.py:139-169).
-
-    extrinsic is global2ego; global = solve(extrinsic, p).
-    """
+def aggregate_points_list(points_list: List[np.ndarray],
+                          extrinsics: List[np.ndarray]) -> List[np.ndarray]:
+    """Per-view ego points -> per-view global-frame arrays
+    (reference multiview.py:139-169). extrinsic is global2ego;
+    global = solve(extrinsic, p). Keeping the per-view split preserves the
+    reference's ``points_slice_indices`` for sweep construction."""
     out = []
     for pts, ext in zip(points_list, extrinsics):
         homo = np.concatenate([pts[:, :3], np.ones_like(pts[:, :1])], -1)
         glob = np.linalg.solve(ext.astype(np.float64), homo.T).T
         out.append(glob[:, :3].astype(np.float32))
-    return np.concatenate(out, axis=0)
+    return out
+
+
+def aggregate_points(points_list: List[np.ndarray],
+                     extrinsics: List[np.ndarray]) -> np.ndarray:
+    """Concatenated variant of :func:`aggregate_points_list`."""
+    return np.concatenate(aggregate_points_list(points_list, extrinsics),
+                          axis=0)
 
 
 def random_flip(points: np.ndarray, boxes: np.ndarray,
@@ -197,39 +204,118 @@ def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     }
 
 
-def construct_multi_sweeps(view_points: List[np.ndarray],
-                           view_visible_ids: Optional[List[np.ndarray]],
-                           n_gt: int) -> List[Dict[str, np.ndarray]]:
-    """Build 1..N cumulative sweeps for the continuous setting.
+def points_range_filter(points: np.ndarray,
+                        pc_range: Sequence[float]) -> np.ndarray:
+    """Filter points to the cuboid range (reference points.py:226-277).
+
+    Callers apply the reference's keep-original fallback when fewer than
+    100 points survive in total.
+    """
+    r = np.asarray(pc_range, np.float32)
+    m = np.all((points[:, :3] > r[:3]) & (points[:, :3] < r[3:6]), axis=1)
+    return points[m]
+
+
+def pack_sweeps(view_points: List[np.ndarray],
+                view_visible_ids: Optional[List[np.ndarray]],
+                imgs: np.ndarray,
+                intrinsics: List[np.ndarray],
+                extrinsics: List[np.ndarray],
+                gt_boxes: np.ndarray,
+                gt_labels: np.ndarray,
+                aug_mat: Optional[np.ndarray],
+                num_points: int,
+                num_boxes: int,
+                rng: np.random.RandomState,
+                occ_visible: Optional[List[np.ndarray]] = None,
+                ) -> Dict[str, np.ndarray]:
+    """Build the continuous-task pseudo-batch: 1..V cumulative sweeps.
 
     TPU-native version of ``ConstructMultiSweeps`` (multiview.py:173-248) +
-    the batchwise expansion (data_preprocessor.py:176-208): instead of a
-    ragged pseudo-batch with image slicing ``[:idx + 1]``
-    (embodied_det3d.py:109-160), every sweep keeps all V views plus a
-    ``view_mask`` that hides future frames, so sweeps stack into one static
-    batch.
+    the batchwise expansion (data_preprocessor.py:176-208) + the image
+    feature-slice reuse of ``embodied_det3d.py:109-160``: instead of a
+    ragged pseudo-batch with image slicing ``[:idx + 1]``, every sweep is a
+    static-shape batch row whose ``view_mask`` hides future frames, while
+    the images/projections are stored ONCE per scan (leading dim 1) — the
+    trunk detects the ``sweeps-per-scan = B_points / B_imgs`` ratio and runs
+    the 2D backbone once, exactly like the reference's slice reuse.
+
+    Per-sweep GT visibility follows the reference's cumulative
+    visible-instance union: sweep i keeps instances seen by views 0..i
+    (multiview.py:193-223); with no visibility info all GT stays visible.
 
     Args:
-        view_points: per-view (Ni, 3) global-frame points.
-        view_visible_ids: per-view arrays of visible gt instance indices.
-        n_gt: total number of gt instances.
+        view_points: per selected view, (Ni, 3) global-frame (augmented)
+            points in view order.
+        view_visible_ids: per selected view, int arrays of visible gt rows.
+        occ_visible: per selected view, dense (X, Y, Z) bool visibility
+            (occupancy task); sweeps get the cumulative logical-or
+            (multiview.py:206-228).
 
     Returns:
-        per sweep: dict(points (cumulative), view_mask (V,), gt_visible
-        (n_gt,) bool).
+        dict with sweep-axis keys (V, ...) — points/points_mask/view_mask/
+        gt_*/[visible_mask] — and scan-axis keys (1, ...) — imgs/proj/
+        aug_inv.
     """
     v = len(view_points)
-    sweeps = []
-    visible = np.zeros(n_gt, bool)
+    base = pack_sample(np.zeros((0, 3), np.float32), imgs, intrinsics,
+                       extrinsics, gt_boxes, gt_labels, aug_mat, 1,
+                       num_boxes, rng)
+    g_valid = base['gt_mask']
+
+    pts_rows, pmask_rows, vmask_rows, gmask_rows, vis_rows = [], [], [], [], []
+    visible = np.zeros(num_boxes, bool) if view_visible_ids is not None \
+        else None
+    occ_cum = None
     for idx in range(v):
-        if view_visible_ids is not None and len(view_visible_ids) > idx:
+        cum = np.concatenate(view_points[:idx + 1])
+        if len(cum) > num_points:
+            cum = point_sample(cum, num_points, rng)
+        row = np.zeros((num_points, 3), np.float32)
+        row[:len(cum)] = cum[:, :3]
+        pm = np.zeros(num_points, bool)
+        pm[:len(cum)] = True
+        pts_rows.append(row)
+        pmask_rows.append(pm)
+        vm = np.zeros(v, bool)
+        vm[:idx + 1] = True
+        vmask_rows.append(vm)
+        if visible is not None:
             ids = np.asarray(view_visible_ids[idx], np.int64)
-            ids = ids[(ids >= 0) & (ids < n_gt)]
+            ids = ids[(ids >= 0) & (ids < num_boxes)]
             visible[ids] = True
-        view_mask = np.zeros(v, bool)
-        view_mask[:idx + 1] = True
-        sweeps.append(
-            dict(points=np.concatenate(view_points[:idx + 1]),
-                 view_mask=view_mask,
-                 gt_visible=visible.copy()))
-    return sweeps
+            gmask_rows.append(g_valid & visible)
+        else:
+            gmask_rows.append(g_valid.copy())
+        if occ_visible is not None:
+            occ_cum = occ_visible[idx].astype(bool) if occ_cum is None \
+                else (occ_cum | occ_visible[idx].astype(bool))
+            vis_rows.append(occ_cum.copy())
+
+    out = dict(
+        points=np.stack(pts_rows),
+        points_mask=np.stack(pmask_rows),
+        imgs=base['imgs'][None],
+        proj=base['proj'][None],
+        aug_inv=base['aug_inv'][None],
+        view_mask=np.stack(vmask_rows),
+        gt_boxes=np.tile(base['gt_boxes'][None], (v, 1, 1)),
+        gt_labels=np.tile(base['gt_labels'][None], (v, 1)),
+        gt_mask=np.stack(gmask_rows),
+    )
+    if occ_visible is not None:
+        out['visible_mask'] = np.stack(vis_rows)
+    return out
+
+
+def collate_sweeps(scans: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Concatenate sweep pseudo-batches of several scans.
+
+    Sweep-axis keys become (B*V, ...) in scan-major order; scan-axis keys
+    (imgs/proj/aug_inv) become (B, ...) — the layout the trunk's grouped
+    fusion expects.
+    """
+    return {
+        k: np.concatenate([s[k] for s in scans], axis=0)
+        for k in scans[0]
+    }

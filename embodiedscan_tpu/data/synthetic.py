@@ -117,12 +117,10 @@ def make_scan(seed: int = 0, n_views: int = 6, hw=(128, 128), g: int = 8,
     return dict(views=views, gt_boxes=boxes, gt_labels=labels)
 
 
-def scan_to_batch(scan: Dict, n_views: int, num_points: int, num_boxes: int,
-                  seed: int = 0, train: bool = True,
-                  points_per_view: int = 4096) -> Dict[str, np.ndarray]:
-    """Run the full host pipeline on a synthetic scan -> packed sample."""
-    rng = np.random.RandomState(seed)
-    ids = pl.select_views(len(scan['views']), n_views, ordered=not train, rng=rng)
+def _load_views(scan: Dict, n_views: int, train: bool,
+                points_per_view: int, rng):
+    ids = pl.select_views(len(scan['views']), n_views, ordered=not train,
+                          rng=rng)
     pts_list, exts, ks, imgs = [], [], [], []
     for i in ids:
         view = scan['views'][i]
@@ -131,6 +129,16 @@ def scan_to_batch(scan: Dict, n_views: int, num_points: int, num_boxes: int,
         exts.append(view['extrinsic'])
         ks.append(view['intrinsic'])
         imgs.append(pl.normalize_imgs(view['rgb'][None])[0])
+    return ids, pts_list, exts, ks, imgs
+
+
+def scan_to_batch(scan: Dict, n_views: int, num_points: int, num_boxes: int,
+                  seed: int = 0, train: bool = True,
+                  points_per_view: int = 4096) -> Dict[str, np.ndarray]:
+    """Run the full host pipeline on a synthetic scan -> packed sample."""
+    rng = np.random.RandomState(seed)
+    _, pts_list, exts, ks, imgs = _load_views(scan, n_views, train,
+                                              points_per_view, rng)
     points = pl.aggregate_points(pts_list, exts)
     boxes, labels = scan['gt_boxes'], scan['gt_labels']
     aug = None
@@ -140,3 +148,53 @@ def scan_to_batch(scan: Dict, n_views: int, num_points: int, num_boxes: int,
         aug = rmat @ fmat
     return pl.pack_sample(points, np.stack(imgs), ks, exts, boxes, labels,
                           aug, num_points, num_boxes, rng)
+
+
+def box_visibility(scan: Dict, view_ids, hw) -> list:
+    """Per selected view: gt rows whose box center projects into the view.
+
+    Synthetic stand-in for the dataset's per-image ``visible_instance_ids``
+    (embodiedscan_dataset.py:189-195).
+    """
+    h, w = hw
+    centers = scan['gt_boxes'][:, :3]
+    homo = np.concatenate([centers, np.ones_like(centers[:, :1])], -1)
+    out = []
+    for i in view_ids:
+        view = scan['views'][i]
+        k, ext = view['intrinsic'], view['extrinsic']
+        cam = (homo @ ext.T)[:, :3]
+        z = np.maximum(cam[:, 2], 1e-6)
+        u = cam[:, 0] / z * k[0, 0] + k[0, 2]
+        v = cam[:, 1] / z * k[1, 1] + k[1, 2]
+        vis = (cam[:, 2] > 0.05) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        out.append(np.where(vis)[0].astype(np.int64))
+    return out
+
+
+def scan_to_sweeps(scan: Dict, n_views: int, num_points: int, num_boxes: int,
+                   seed: int = 0, train: bool = True,
+                   points_per_view: int = 4096,
+                   occ_shape=None) -> Dict[str, np.ndarray]:
+    """Continuous-task pseudo-batch from a synthetic scan (1..V sweeps)."""
+    rng = np.random.RandomState(seed)
+    ids, pts_list, exts, ks, imgs = _load_views(scan, n_views, train,
+                                                points_per_view, rng)
+    view_pts = pl.aggregate_points_list(pts_list, exts)
+    boxes, labels = scan['gt_boxes'], scan['gt_labels']
+    aug = None
+    if train:
+        sizes = np.cumsum([len(p) for p in view_pts])[:-1]
+        points = np.concatenate(view_pts)
+        points, boxes, fmat = pl.random_flip(points, boxes, rng)
+        points, boxes, rmat = pl.global_rot_scale_trans(points, boxes, rng)
+        aug = rmat @ fmat
+        view_pts = np.split(points, sizes)
+    hw = scan['views'][0]['depth'].shape
+    vis_ids = box_visibility(scan, ids, hw)
+    occ_visible = None
+    if occ_shape is not None:
+        occ_visible = [rng.rand(*occ_shape) > 0.5 for _ in ids]
+    return pl.pack_sweeps(view_pts, vis_ids, np.stack(imgs), ks, exts, boxes,
+                          labels, aug, num_points, num_boxes, rng,
+                          occ_visible=occ_visible)

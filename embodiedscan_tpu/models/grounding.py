@@ -321,7 +321,7 @@ class SparseFusionGrounder(nn.Module):
                                 query_mask), text_mask
 
     def loss_single_layer(self, cls, boxes, query_mask, text_mask, pos_maps,
-                          gt_boxes, gt_mask, num_pos_avg):
+                          gt_boxes, gt_mask):
         """One decoder layer's loss over the batch (grounding_head.py:686)."""
 
         def assign(cls_i, boxes_i, qm_i, tm_i, maps_i, gt_i, gm_i):
@@ -351,6 +351,14 @@ class SparseFusionGrounder(nn.Module):
             jnp.take_along_axis(pos_maps, safe[..., None], axis=1), 0.0)
         tgt_boxes = jnp.take_along_axis(gt_boxes, safe[..., None], axis=1)
 
+        # matched-positive count is the normalizer for both losses
+        # (grounding_head.py:740-758: cls_avg_factor = num_total_pos with
+        # bg_cls_weight=0, reduce_mean-synced and clamped at 1; under a
+        # single global jit the global sum gives identical gradients to the
+        # reference's per-rank mean + DDP gradient averaging)
+        num_pos = jnp.sum(pos).astype(jnp.float32)
+        cls_avg_factor = jnp.maximum(num_pos, 1.0)
+
         # focal over (query, valid-token) cells; bg_cls_weight = 0
         t = cls.shape[-1]
         tmask = jnp.zeros((cls.shape[0], t), bool).at[:, :text_mask.shape[1]
@@ -362,8 +370,7 @@ class SparseFusionGrounder(nn.Module):
         alpha_t = jnp.where(lab > 0, 0.25, 0.75)
         focal = alpha_t * jnp.power(1 - pt, 2.0) * \
             -jnp.log(jnp.clip(pt, min=1e-12))
-        cls_loss = jnp.sum(jnp.where(cell_mask, focal, 0)) / \
-            jnp.maximum(num_pos_avg, 1.0)
+        cls_loss = jnp.sum(jnp.where(cell_mask, focal, 0)) / cls_avg_factor
 
         # decoupled corner CD loss on matched pairs
         valid = pos.reshape(-1)
@@ -378,7 +385,7 @@ class SparseFusionGrounder(nn.Module):
         bbox_loss = sum(
             w * bbox_cd_loss(g, tb, valid, 'l1', 'g8')
             for w, g in zip(self.decouple_weights, groups))
-        return cls_loss, jnp.nan_to_num(bbox_loss), jnp.sum(pos)
+        return cls_loss, jnp.nan_to_num(bbox_loss), num_pos
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = True, mode: str = 'loss'):
@@ -393,22 +400,15 @@ class SparseFusionGrounder(nn.Module):
         # loss over all decoder layers
         pos_maps = batch['positive_maps']
         gt_boxes, gt_mask = batch['gt_boxes'], batch['gt_mask']
-        # avg positives ~ num gt per sample (sync_cls_avg_factor via global
-        # mean under pjit)
-        num_pos_avg = jnp.maximum(
-            jnp.mean(jnp.sum(gt_mask, -1).astype(jnp.float32)) *
-            gt_mask.shape[0], 1.0)
         losses = {}
-        total_cls, total_bbox = 0.0, 0.0
         for li in range(self.num_decoder_layers):
             cls_l, bbox_l, _ = self.loss_single_layer(
                 outs.cls[li], outs.boxes[li], outs.query_mask, text_mask,
-                pos_maps, gt_boxes, gt_mask, num_pos_avg)
+                pos_maps, gt_boxes, gt_mask)
             if li == self.num_decoder_layers - 1:
                 losses['loss_cls'] = cls_l
                 losses['loss_bbox'] = bbox_l
             else:
                 losses[f'd{li}.loss_cls'] = cls_l
                 losses[f'd{li}.loss_bbox'] = bbox_l
-        del total_cls, total_bbox
         return losses

@@ -269,23 +269,33 @@ class DenseFusionOccPredictor(nn.Module):
     @nn.compact
     def __call__(self, batch: dict, train: bool = True, mode: str = 'loss'):
         imgs = batch['imgs']
-        b, v, h, w, _ = imgs.shape
+        bi, v, h, w, _ = imgs.shape
+        b = batch['points'].shape[0]
+        # continuous pseudo-batches share one image set per scan (see
+        # SparseFusionTrunk): s sweeps reuse the scan's feature maps
+        assert b % bi == 0, (b, bi)
+        s = b // bi
         feats2d = ResNet(depth=self.resnet_depth,
                          base_channels=self.resnet_base_channels)(
-                             imgs.reshape(b * v, h, w, 3))
+                             imgs.reshape(bi * v, h, w, 3))
         f = FPN(out_channels=self.fpn_channels)(feats2d)[0]  # finest, stride 4
         hf, wf, c2 = f.shape[1:]
-        f = f.reshape(b, v, hf, wf, c2)
+        f = f.reshape(bi, v, hf, wf, c2)
 
         prior = self._prior_points()  # (Nx*Ny*Nz, 3)
         pmask = jnp.ones((prior.shape[0],), bool)
         view_mask = batch.get('view_mask')
-        img_volume = jax.vmap(point_image_sample,
-                              in_axes=(None, None, 0, 0, 0, None, None,
-                                       0 if view_mask is not None else None))(
-                                  prior, pmask, f, batch['proj'],
-                                  batch['aug_inv'], (h, w), 'nearest',
-                                  view_mask)
+        if view_mask is None:
+            view_mask = jnp.ones((b, v), bool)
+        inner = jax.vmap(point_image_sample,
+                         in_axes=(None, None, None, None, None, None, None,
+                                  0))
+        img_volume = jax.vmap(
+            lambda f_, p_, a_, vm_: inner(prior, pmask, f_, p_, a_, (h, w),
+                                          'nearest', vm_))(
+                                              f, batch['proj'],
+                                              batch['aug_inv'],
+                                              view_mask.reshape(bi, s, v))
         nx, ny, nz = self.n_voxels
         img_volume = img_volume.reshape(b, nx, ny, nz, c2)
 

@@ -63,6 +63,46 @@ class SimpleTokenizer:
         return int(cm[char_idx])
 
 
+class HFTokenizer:
+    """``RobertaTokenizerFast`` from local vocab files, same API surface.
+
+    The reference tokenizes with
+    ``RobertaTokenizerFast.from_pretrained('roberta-base')``
+    (sparse_featfusion_grounder.py:108, :475-479 batch_encode_plus with
+    padding); point ``path`` at a directory holding the downloaded
+    vocab.json/merges.txt/tokenizer.json to reproduce its token ids exactly.
+    """
+
+    def __init__(self, path: str, max_len: int = 256):
+        from transformers import RobertaTokenizerFast
+        self.tok = RobertaTokenizerFast.from_pretrained(path)
+        self.vocab_size = self.tok.vocab_size
+        self.max_len = max_len
+
+    def __call__(self, texts: List[str]) -> Dict[str, np.ndarray]:
+        enc = self.tok(texts, padding='max_length', truncation=True,
+                       max_length=self.max_len, return_tensors='np')
+        self._enc = enc
+        return dict(input_ids=enc['input_ids'].astype(np.int32),
+                    attention_mask=enc['attention_mask'].astype(np.int32))
+
+    def char_to_token(self, batch_idx: int, char_idx: int):
+        return self._enc.char_to_token(batch_idx, char_idx)
+
+
+def get_tokenizer(path, max_len: int):
+    """HF fast tokenizer when vocab files exist locally, else the hash
+    tokenizer (offline fallback)."""
+    if path:
+        try:
+            return HFTokenizer(path, max_len=max_len)
+        except Exception as e:  # noqa: BLE001 - fall back offline
+            import warnings
+            warnings.warn(f'HF tokenizer unavailable ({e}); '
+                          'using SimpleTokenizer')
+    return SimpleTokenizer(max_len=max_len)
+
+
 def build_positive_maps(tokenizer, texts: List[str],
                         tokens_positive: List[List[List[List[int]]]],
                         max_text_len: int, max_boxes: int) -> np.ndarray:

@@ -66,24 +66,39 @@ class SparseFusionTrunk(nn.Module):
                             remat=self._remat('3d'))(st, train=train)
 
         imgs = batch['imgs'].astype(self.img_dtype)
-        b, v, h, w, _ = imgs.shape
+        bi, v, h, w, _ = imgs.shape
+        b = pts.shape[0]
+        # continuous-task pseudo-batches store images ONCE per scan
+        # (bi scans x s sweeps = b rows): the 2D backbone runs on bi*v
+        # images and each scan's s sweeps share its feature maps — the
+        # TPU-static equivalent of the reference's per-sweep image feature
+        # slicing ``[:idx + 1]`` (embodied_det3d.py:109-160)
+        assert b % bi == 0, (b, bi)
+        s = b // bi
         feats2d = ResNet(depth=self.resnet_depth, base_channels=16,
                          dtype=self.img_dtype,
-                         remat=self._remat('2d'))(imgs.reshape(b * v, h, w, 3))
+                         remat=self._remat('2d'))(imgs.reshape(bi * v, h, w,
+                                                               3))
+        view_mask = batch.get('view_mask')
+        if view_mask is None:
+            view_mask = jnp.ones((b, v), bool)
         fused = []
         for i, lvl in enumerate(levels):
             f2d = feats2d[i]
             hf, wf, c2 = f2d.shape[1:]
-            f2d = f2d.reshape(b, v, hf, wf, c2).astype(jnp.float32)
+            f2d = f2d.reshape(bi, v, hf, wf, c2).astype(jnp.float32)
             world = lvl.coords.astype(jnp.float32) * (STRIDES[i] *
                                                       self.voxel_size)
-            view_mask = batch.get('view_mask')
-            img_feat = jax.vmap(point_image_sample,
-                                in_axes=(0, 0, 0, 0, 0, None, None, 0 if
-                                         view_mask is not None else None))(
-                                    world, lvl.mask, f2d, batch['proj'],
-                                    batch['aug_inv'], (h, w), 'nearest',
-                                    view_mask)
+            n = world.shape[1]
+            inner = jax.vmap(point_image_sample,
+                             in_axes=(0, 0, None, None, None, None, None, 0))
+            img_feat = jax.vmap(
+                lambda w_, m_, f_, p_, a_, vm_: inner(
+                    w_, m_, f_, p_, a_, (h, w), 'nearest', vm_))(
+                        world.reshape(bi, s, n, 3),
+                        lvl.mask.reshape(bi, s, n), f2d, batch['proj'],
+                        batch['aug_inv'], view_mask.reshape(bi, s, v))
+            img_feat = img_feat.reshape(b, n, -1)
             fused.append(
                 S.SparseTensor(
                     lvl.coords,

@@ -18,6 +18,7 @@ All functions are per-sample and parameter-free; norm layers and weights live
 in the flax model layer.
 """
 
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -49,6 +50,23 @@ def set_conv_compute_dtype(dtype) -> None:
     CONV_COMPUTE_DTYPE = dtype
 
 
+# 'unroll' (default) emits one flat per-sample pipeline per batch element;
+# 'scan' emits ONE traced copy rolled into a lax.map loop (same flat
+# per-sample sorts — the TPU chip is one core so sequential-by-construction
+# costs nothing — but the HLO stays batch-size-independent, which keeps
+# XLA compile memory/time flat as b grows); 'vmap' emits a single batched
+# program (sorts carry a batch dim: ~12x slower on TPU, fastest to compile;
+# used by the virtual-device dryrun/CI where compile time dominates).
+BMAP_MODE = os.environ.get('EMBODIEDSCAN_BMAP', 'unroll')
+
+
+def set_bmap_mode(mode: str) -> None:
+    """Set the bmap strategy ('unroll'/'scan'/'vmap') BEFORE tracing/jit."""
+    assert mode in ('unroll', 'scan', 'vmap'), mode
+    global BMAP_MODE
+    BMAP_MODE = mode
+
+
 def bmap(fn, in_axes):
     """Map ``fn`` over a leading batch axis by UNROLLING, not ``vmap``.
 
@@ -56,11 +74,24 @@ def bmap(fn, in_axes):
     (measured on v5e: 2.6 ms flat vs 31 ms as (1, T) at 1.87M elements), so
     every sort-carrying coordinate op must run on flat per-sample arrays.
     ``in_axes`` follows vmap semantics (0 or None per positional arg).
+    See ``BMAP_MODE`` for the 'scan' (one rolled traced copy) and 'vmap'
+    alternatives.
     """
     def wrapped(*args):
+        if BMAP_MODE == 'vmap':
+            return jax.vmap(fn, in_axes=in_axes)(*args)
         b = next(
             jax.tree_util.tree_leaves(a)[0].shape[0]
             for a, ax in zip(args, in_axes) if ax == 0)
+        if BMAP_MODE == 'scan' and b > 1:
+            mapped = [a for a, ax in zip(args, in_axes) if ax == 0]
+            closed = [(a, ax) for a, ax in zip(args, in_axes)]
+
+            def body(sliced):
+                it = iter(sliced)
+                return fn(*[next(it) if ax == 0 else a for a, ax in closed])
+
+            return jax.lax.map(body, tuple(mapped))
         outs = [
             fn(*[a if ax is None else
                  jax.tree_util.tree_map(lambda x: x[i], a)

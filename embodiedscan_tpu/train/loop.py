@@ -241,10 +241,12 @@ def evaluate(cfg: Config, state: TrainState | None = None,
                 dts.append(preds[i])
                 from ..models.occupancy import occ_multiscale_targets
                 import jax.numpy as jnp
+                vis = batch.get('visible_mask')
                 tgt = occ_multiscale_targets(
                     jnp.asarray(batch['gt_occ'][i]),
                     jnp.asarray(batch['gt_occ_mask'][i]), 1,
-                    tuple(cfg.model.n_voxels))
+                    tuple(cfg.model.n_voxels),
+                    None if vis is None else jnp.asarray(vis[i]))
                 gts.append(np.asarray(tgt))
             if cfg.vis_dir and n % cfg.vis_interval == 0 and \
                     cfg.model.task != 'mv_occ':
@@ -260,7 +262,13 @@ def evaluate(cfg: Config, state: TrainState | None = None,
         return {'result_file': out}
     if cfg.model.task in ('mv_det3d', 'cont_det3d'):
         from ..eval.indoor_eval import indoor_eval
-        return indoor_eval(gts, dts, (0.25, 0.5), verbose=True)
+        # per-class tables + head/common/tail splits from dataset metainfo
+        # (reference det_metric.py:93-97)
+        return indoor_eval(gts, dts, (0.25, 0.5),
+                           label2cat=getattr(loader, 'label2cat', None),
+                           classes_split=getattr(loader, 'classes_split',
+                                                 None),
+                           verbose=True)
     if cfg.model.task == 'mv_grounding':
         from ..eval.grounding_metric import ground_eval
         return ground_eval(gts, dts)

@@ -288,16 +288,14 @@ def convert_mink_resnet(state_dict: Dict[str, np.ndarray], depth: int = 34,
     return params, stats
 
 
-def load_mink_resnet_into_variables(variables, torch_state_dict, depth=34,
-                                    prefix=('trunk', 'MinkResNet_0'),
-                                    src_prefix='backbone_3d.', flip=False):
-    """Merge converted reference MinkResNet weights into model variables.
+def _merge_into(variables, params, stats, prefix):
+    """Merge (params, stats) trees into ``variables`` under ``prefix``.
 
-    Same skip-on-mismatch semantics as :func:`load_resnet_into_variables`.
+    Shape-mismatched/missing entries are skipped with a report — the
+    mmengine ``load_checkpoint(strict=False)`` behavior the reference
+    relies on. Returns (variables, n_loaded, skipped_paths).
     """
     import flax
-    params, stats = convert_mink_resnet(torch_state_dict, depth,
-                                        prefix=src_prefix, flip=flip)
     var = flax.core.unfreeze(variables)
     skipped, loaded = [], 0
 
@@ -317,10 +315,181 @@ def load_mink_resnet_into_variables(variables, torch_state_dict, depth=34,
                     skipped.append('/'.join(path + (k,)))
 
     node_p = var['params']
-    node_s = var['batch_stats']
+    node_s = var.get('batch_stats', {})
     for p in prefix:
         node_p = node_p.get(p, {})
-        node_s = node_s.get(p, {})
+        node_s = node_s.get(p, {}) if node_s else {}
     merge(node_p, params, prefix)
-    merge(node_s, stats, prefix)
+    if stats:
+        merge(node_s, stats, prefix)
     return var, loaded, skipped
+
+
+def load_mink_resnet_into_variables(variables, torch_state_dict, depth=34,
+                                    prefix=('trunk', 'MinkResNet_0'),
+                                    src_prefix='backbone_3d.', flip=False):
+    """Merge converted reference MinkResNet weights into model variables.
+
+    Same skip-on-mismatch semantics as :func:`load_resnet_into_variables`.
+    """
+    params, stats = convert_mink_resnet(torch_state_dict, depth,
+                                        prefix=src_prefix, flip=flip)
+    return _merge_into(variables, params, stats, prefix)
+
+
+# ---------------------------------------------------------------------------
+# HF RoBERTa (torch) -> Flax RoBERTa module tree
+# ---------------------------------------------------------------------------
+
+def convert_roberta(state_dict: Dict[str, np.ndarray],
+                    prefix: str = 'text_encoder.'):
+    """Torch ``RobertaModel`` state_dict -> FlaxRobertaModule params tree.
+
+    The reference loads ``RobertaModel.from_pretrained('roberta-base')``
+    (sparse_featfusion_grounder.py:107-109); the same weights dropped into
+    the Flax module give bit-identical text features. Linear weights
+    transpose (torch (out, in) -> flax kernel (in, out)); embeddings and
+    LayerNorms copy through.
+    """
+    sd = {k[len(prefix):]: np.asarray(v) for k, v in state_dict.items()
+          if k.startswith(prefix)}
+    params: Dict = {}
+
+    def put(path, value):
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(value)
+
+    def dense(dst, src):
+        put(dst + ('kernel',), sd[src + '.weight'].T)
+        put(dst + ('bias',), sd[src + '.bias'])
+
+    def lnorm(dst, src):
+        put(dst + ('scale',), sd[src + '.weight'])
+        put(dst + ('bias',), sd[src + '.bias'])
+
+    put(('embeddings', 'word_embeddings', 'embedding'),
+        sd['embeddings.word_embeddings.weight'])
+    put(('embeddings', 'position_embeddings', 'embedding'),
+        sd['embeddings.position_embeddings.weight'])
+    put(('embeddings', 'token_type_embeddings', 'embedding'),
+        sd['embeddings.token_type_embeddings.weight'])
+    lnorm(('embeddings', 'LayerNorm'), 'embeddings.LayerNorm')
+
+    i = 0
+    while f'encoder.layer.{i}.attention.self.query.weight' in sd:
+        src = f'encoder.layer.{i}'
+        dst = ('encoder', 'layer', str(i))
+        dense(dst + ('attention', 'self', 'query'),
+              src + '.attention.self.query')
+        dense(dst + ('attention', 'self', 'key'), src + '.attention.self.key')
+        dense(dst + ('attention', 'self', 'value'),
+              src + '.attention.self.value')
+        dense(dst + ('attention', 'output', 'dense'),
+              src + '.attention.output.dense')
+        lnorm(dst + ('attention', 'output', 'LayerNorm'),
+              src + '.attention.output.LayerNorm')
+        dense(dst + ('intermediate', 'dense'), src + '.intermediate.dense')
+        dense(dst + ('output', 'dense'), src + '.output.dense')
+        lnorm(dst + ('output', 'LayerNorm'), src + '.output.LayerNorm')
+        i += 1
+    if 'pooler.dense.weight' in sd:
+        dense(('pooler', 'dense'), 'pooler')
+    return params
+
+
+def load_roberta_into_variables(variables, torch_state_dict,
+                                prefix=('text_encoder',
+                                        'FlaxRobertaModule_0'),
+                                src_prefix='text_encoder.'):
+    """Merge torch RoBERTa weights into the grounder's text encoder."""
+    params = convert_roberta(torch_state_dict, prefix=src_prefix)
+    return _merge_into(variables, params, {}, prefix)
+
+
+# ---------------------------------------------------------------------------
+# Reference FCAF3D head (detection checkpoint) -> our FCAF3DHead tree
+# ---------------------------------------------------------------------------
+
+def convert_fcaf_head(state_dict: Dict[str, np.ndarray], n_levels: int = 4,
+                      prefix: str = 'bbox_head.', flip: bool = False):
+    """Reference ``FCAF3DHeadRotMat`` weights -> (params, batch_stats).
+
+    Maps the reference's per-level modules (fcaf3d_head.py:926-985:
+    ``up_block_{i} = Sequential(tconv, bn, elu, conv, bn, elu)``,
+    ``out_block_{i} = Sequential(conv, bn, elu)``, 1x1 ``conv_center`` /
+    ``conv_reg`` / ``conv_cls`` and per-level ``scales.{i}.scale``) onto our
+    flat names (models/fcaf3d.py:209-255: ``up_block_{i}_tconv/_bn1/_conv/
+    _bn2``, ``out_block_{i}_conv/_bn``, Dense heads, a ``scales`` vector),
+    with the ME kernel-row permutation on every spatial kernel (k=2 for the
+    generative transpose, k=3 for convs).
+    """
+    sd = {k[len(prefix):]: np.asarray(v) for k, v in state_dict.items()
+          if k.startswith(prefix)}
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(value)
+
+    def bn_get(name, field):
+        for key in (f'{name}.bn.{field}', f'{name}.{field}'):
+            if key in sd:
+                return sd[key]
+        raise KeyError(f'{prefix}{name}.{field} not in state dict')
+
+    def put_bn(dst, src):
+        put(params, (dst, 'scale'), bn_get(src, 'weight'))
+        put(params, (dst, 'bias'), bn_get(src, 'bias'))
+        put(stats, (dst, 'mean'), bn_get(src, 'running_mean'))
+        put(stats, (dst, 'var'), bn_get(src, 'running_var'))
+
+    for i in range(1, n_levels):
+        put(params, (f'up_block_{i}_tconv',),
+            _me_kernel(sd[f'up_block_{i}.0.kernel'], flip))
+        put_bn(f'up_block_{i}_bn1', f'up_block_{i}.1')
+        put(params, (f'up_block_{i}_conv', 'kernel'),
+            _me_kernel(sd[f'up_block_{i}.3.kernel'], flip))
+        put_bn(f'up_block_{i}_bn2', f'up_block_{i}.4')
+    for i in range(n_levels):
+        put(params, (f'out_block_{i}_conv', 'kernel'),
+            _me_kernel(sd[f'out_block_{i}.0.kernel'], flip))
+        put_bn(f'out_block_{i}_bn', f'out_block_{i}.1')
+    put(params, ('conv_center', 'kernel'),
+        _me_pointwise(sd['conv_center.kernel']))
+    put(params, ('conv_reg', 'kernel'), _me_pointwise(sd['conv_reg.kernel']))
+    put(params, ('conv_cls', 'kernel'), _me_pointwise(sd['conv_cls.kernel']))
+    if 'conv_cls.bias' in sd:
+        put(params, ('conv_cls', 'bias'), sd['conv_cls.bias'].reshape(-1))
+    put(params, ('scales',),
+        np.array([float(np.asarray(sd[f'scales.{i}.scale']).reshape(()))
+                  for i in range(n_levels)], np.float32))
+    return params, stats
+
+
+def load_reference_detector(variables, torch_state_dict, mink_depth=34,
+                            resnet_depth=50, flip=False):
+    """Load a full reference detection checkpoint into SparseFusionDetector.
+
+    Covers the three trainable groups of
+    ``SparseFeatureFusionSingleStage3DDetector`` (detector attrs at
+    sparse_featfusion_single_stage.py:67-75): ``backbone`` (2D torchvision
+    ResNet), ``backbone_3d`` (MinkResNet) and ``bbox_head``. Returns
+    (variables, n_loaded, skipped_paths).
+    """
+    var, n1, s1 = load_resnet_into_variables(
+        variables,
+        {k[len('backbone.'):]: v for k, v in torch_state_dict.items()
+         if k.startswith('backbone.')},
+        depth=resnet_depth, prefix=('trunk', 'ResNet_0'))
+    var, n2, s2 = load_mink_resnet_into_variables(
+        var, torch_state_dict, depth=mink_depth,
+        prefix=('trunk', 'MinkResNet_0'), src_prefix='backbone_3d.',
+        flip=flip)
+    hp, hs = convert_fcaf_head(torch_state_dict, flip=flip)
+    var, n3, s3 = _merge_into(var, hp, hs, ('bbox_head',))
+    return var, n1 + n2 + n3, s1 + s2 + s3

@@ -16,6 +16,12 @@ import jax
 
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_num_cpu_devices', 8)
+# persistent compile cache: the suite is compile-dominated on a 1-core
+# host; repeat runs skip every unchanged jit (VERDICT r1 "test wall time")
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 
 import pickle
@@ -42,9 +48,11 @@ def fake_data(tmp_path_factory):
             Image.fromarray(depth).save(root / dp)
             cam2global = np.eye(4)
             cam2global[:3, 3] = [v * 0.1, 0, 1.5]
+            # instance 1 only becomes visible from the second view, so
+            # continuous sweeps see strictly growing GT
             images.append(
                 dict(img_path=ip, depth_path=dp, cam2global=cam2global,
-                     visible_instance_ids=[0, 1]))
+                     visible_instance_ids=[0] if v == 0 else [0, 1]))
         instances = [
             dict(bbox_3d=np.concatenate([
                 rng.uniform(0, 3, 3),
@@ -60,6 +68,22 @@ def fake_data(tmp_path_factory):
                  depth_cam2img=np.array([[60.0, 0, 32], [0, 60, 24],
                                          [0, 0, 1]]),
                  images=images, instances=instances))
+        # occupancy gt + per-view visibility in the reference layout
+        # (embodiedscan_dataset.py:200-252)
+        occ_dir = root / 'scannet' / 'scans' / f'scene{s:04d}_00' / 'occupancy'
+        os.makedirs(occ_dir, exist_ok=True)
+        occ = np.stack([
+            rng.randint(0, 8, 64),
+            rng.randint(0, 8, 64),
+            rng.randint(0, 4, 64),
+            rng.randint(1, 5, 64)
+        ], -1).astype(np.int64)
+        np.save(occ_dir / 'occupancy.npy', occ)
+        per_view = [
+            dict(visible_occupancy=rng.rand(8, 8, 4) > 0.5) for _ in range(4)
+        ]
+        with open(occ_dir / 'visible_occupancy.pkl', 'wb') as f:
+            pickle.dump(per_view, f)
     pkl = dict(data_list=infos,
                metainfo=dict(categories={f'c{i}': i for i in range(5)}))
     for name in ('embodiedscan_infos_train.pkl', 'embodiedscan_infos_val.pkl'):

@@ -185,3 +185,104 @@ class TestMinkResNetConversion:
         # converted weights still run
         out = model.apply(var, st, train=False)
         assert all(np.isfinite(np.asarray(o.feats)).all() for o in out)
+
+
+class TestRobertaConversion:
+    """Torch RobertaModel -> Flax module: numerical parity on tiny sizes
+    (reference text path: sparse_featfusion_grounder.py:107-116)."""
+
+    def test_numerical_parity(self):
+        from transformers import RobertaConfig, RobertaModel
+        from transformers.models.roberta.modeling_flax_roberta import \
+            FlaxRobertaModule
+
+        from embodiedscan_tpu.utils.convert_weights import \
+            load_roberta_into_variables
+
+        cfg = RobertaConfig(vocab_size=100, hidden_size=32,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            intermediate_size=64,
+                            max_position_embeddings=40, type_vocab_size=1,
+                            pad_token_id=1)
+        torch.manual_seed(0)
+        net = RobertaModel(cfg, add_pooling_layer=False).eval()
+        ids = torch.randint(4, 100, (2, 10))
+        mask = torch.ones(2, 10, dtype=torch.long)
+        with torch.no_grad():
+            want = net(input_ids=ids,
+                       attention_mask=mask).last_hidden_state.numpy()
+
+        module = FlaxRobertaModule(cfg, add_pooling_layer=False)
+        idsj = jnp.asarray(ids.numpy())
+        maskj = jnp.asarray(mask.numpy())
+        pos = jnp.cumsum(maskj, -1) * maskj + 1
+        tok = jnp.zeros_like(idsj)
+        variables = jax.jit(lambda r: module.init(r, idsj, maskj, tok, pos))(
+            jax.random.PRNGKey(0))
+        sd = {k: v.numpy() for k, v in net.state_dict().items()}
+        var, loaded, skipped = load_roberta_into_variables(
+            variables, sd, prefix=(), src_prefix='')
+        assert not skipped, skipped[:8]
+        n_leaves = len(jax.tree_util.tree_leaves(variables))
+        assert loaded == n_leaves, (loaded, n_leaves)
+        got = module.apply(var, idsj, maskj, tok, pos,
+                           deterministic=True).last_hidden_state
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+
+class TestFCAFHeadConversion:
+    """Reference FCAF3DHeadRotMat state dict -> our head tree."""
+
+    def _fake_head_sd(self, in_channels=(80, 160, 320, 640), out=128,
+                      num_classes=5, num_reg=12):
+        rng = np.random.RandomState(0)
+        sd = {}
+        for i in range(1, 4):
+            cin, cout = in_channels[i], in_channels[i - 1]
+            sd[f'bbox_head.up_block_{i}.0.kernel'] = rng.randn(8, cin, cout)
+            sd[f'bbox_head.up_block_{i}.3.kernel'] = rng.randn(27, cout, cout)
+            for idx in (1, 4):
+                p = f'bbox_head.up_block_{i}.{idx}'
+                sd[f'{p}.bn.weight'] = rng.randn(cout)
+                sd[f'{p}.bn.bias'] = rng.randn(cout)
+                sd[f'{p}.bn.running_mean'] = rng.randn(cout)
+                sd[f'{p}.bn.running_var'] = np.abs(rng.randn(cout)) + 0.5
+        for i in range(4):
+            cin = in_channels[i]
+            sd[f'bbox_head.out_block_{i}.0.kernel'] = rng.randn(27, cin, out)
+            p = f'bbox_head.out_block_{i}.1'
+            sd[f'{p}.bn.weight'] = rng.randn(out)
+            sd[f'{p}.bn.bias'] = rng.randn(out)
+            sd[f'{p}.bn.running_mean'] = rng.randn(out)
+            sd[f'{p}.bn.running_var'] = np.abs(rng.randn(out)) + 0.5
+        sd['bbox_head.conv_center.kernel'] = rng.randn(out, 1)
+        sd['bbox_head.conv_reg.kernel'] = rng.randn(out, num_reg)
+        sd['bbox_head.conv_cls.kernel'] = rng.randn(out, num_classes)
+        sd['bbox_head.conv_cls.bias'] = rng.randn(num_classes)
+        for i in range(4):
+            sd[f'bbox_head.scales.{i}.scale'] = np.array(1.0 + 0.1 * i)
+        return sd
+
+    def test_merges_into_detector(self):
+        import __graft_entry__ as g
+        from embodiedscan_tpu.utils.convert_weights import (_merge_into,
+                                                            convert_fcaf_head)
+        model = g._tiny_model()
+        batch = g._tiny_batch()
+        variables = jax.jit(lambda r, b: model.init(
+            r, b, train=False, mode='feats'))(jax.random.PRNGKey(0), batch)
+        sd = self._fake_head_sd()
+        hp, hs = convert_fcaf_head(sd)
+        var, loaded, skipped = _merge_into(variables, hp, hs, ('bbox_head',))
+        assert not skipped, skipped[:8]
+        # everything except the (bias-free in ME) SparseConv biases loads
+        assert loaded >= 60, loaded
+        # scales vector assembled from per-level scalars
+        np.testing.assert_allclose(
+            np.asarray(var['params']['bbox_head']['scales']),
+            [1.0, 1.1, 1.2, 1.3])
+        # tconv rows follow the k=2 ME permutation: our row 1 = (0,0,1)
+        # = ME row 4 (z varies slowest in our order, fastest in ME's)
+        got = var['params']['bbox_head']['up_block_1_tconv']
+        np.testing.assert_allclose(
+            got[1], sd['bbox_head.up_block_1.0.kernel'][4])

@@ -144,6 +144,66 @@ class TestYawHead:
         np.testing.assert_allclose(boxes[..., 7:9], 0.0)
 
 
+class TestContinuousPseudoBatch:
+    """Shared-image sweep batches (embodied_det3d.py:109-160 equivalent)."""
+
+    @pytest.fixture(scope='class')
+    def setup(self):
+        rng = np.random.RandomState(3)
+        s, v = 3, 3
+        batch = tiny_batch(rng, b=s, v=v)
+        # cumulative sweeps over one scan: shared images, triangular views,
+        # growing point prefixes and gt visibility
+        shared = dict(batch)
+        shared['imgs'] = batch['imgs'][:1]
+        shared['proj'] = batch['proj'][:1]
+        shared['aug_inv'] = batch['aug_inv'][:1]
+        shared['view_mask'] = jnp.asarray(np.tril(np.ones((s, v), bool)))
+        pm = np.array(batch['points_mask'])
+        p = pm.shape[1]
+        for i in range(s):
+            pm[i, (i + 1) * p // s:] = False
+        shared['points_mask'] = jnp.asarray(pm)
+        gm = np.ones((s, 4), bool)
+        gm[0, 2:] = False
+        gm[1, 3:] = False
+        shared['gt_mask'] = jnp.asarray(gm)
+        model = tiny_model()
+        variables = model.init(jax.random.PRNGKey(0), shared, train=False,
+                               mode='feats')
+        return model, variables, shared
+
+    def test_loss_and_grads(self, setup):
+        model, variables, batch = setup
+
+        def loss_fn(params):
+            losses, _ = model.apply(
+                {'params': params, 'batch_stats': variables['batch_stats']},
+                batch, train=True, mode='loss', mutable=['batch_stats'])
+            return sum(losses.values())
+
+        total, grads = jax.value_and_grad(loss_fn)(variables['params'])
+        assert np.isfinite(float(total))
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+
+    def test_shared_images_match_tiled(self, setup):
+        """One 2D-backbone pass per scan == running it per sweep."""
+        model, variables, shared = setup
+        tiled = dict(shared)
+        s = shared['points'].shape[0]
+        tiled['imgs'] = jnp.tile(shared['imgs'], (s, 1, 1, 1, 1))
+        tiled['proj'] = jnp.tile(shared['proj'], (s, 1, 1, 1))
+        tiled['aug_inv'] = jnp.tile(shared['aug_inv'], (s, 1, 1))
+        a, _ = model.apply(variables, shared, train=True, mode='loss',
+                           mutable=['batch_stats'])
+        b, _ = model.apply(variables, tiled, train=True, mode='loss',
+                           mutable=['batch_stats'])
+        for k in a:
+            np.testing.assert_allclose(float(a[k]), float(b[k]), rtol=1e-4,
+                                       err_msg=k)
+
+
 class TestBottleneckBackbone:
     """MinkResNet-50 (Bottleneck) variant (reference mink_resnet.py:36)."""
 

@@ -64,6 +64,43 @@ def tiny_grounder(max_len=16):
         text_heads=4)
 
 
+class TestLossNormalizer:
+    """Hand-computed scale check for the matched-positive normalizer.
+
+    Mirrors grounding_head.py:740-758: cls_avg_factor = matched positive
+    count (bg_cls_weight=0), clamped at 1; bbox loss averaged over matched
+    boxes x corners.
+    """
+
+    def test_hand_computed_example(self):
+        import flax.linen as nn
+        model = tiny_grounder()
+        b, q, g, t_valid = 1, 2, 1, 2
+        tmax = model.max_text_len
+        cls = jnp.zeros((b, q, tmax))  # p = 0.5 at every cell
+        gt = jnp.array([[[1.0, 2.0, 0.5, 1.0, 1.0, 1.0, 0, 0, 0]]])
+        # query 0 predicts the gt exactly; query 1 is far away
+        boxes = jnp.array([[[1.0, 2.0, 0.5, 1.0, 1.0, 1.0, 0, 0, 0],
+                            [9.0, 9.0, 9.0, 1.0, 1.0, 1.0, 0, 0, 0]]])
+        qmask = jnp.ones((b, q), bool)
+        tmask = jnp.ones((b, t_valid), bool)
+        maps = jnp.zeros((b, g, t_valid)).at[0, 0, 0].set(1.0)
+        gmask = jnp.ones((b, g), bool)
+
+        def run(mdl):
+            return mdl.loss_single_layer(cls, boxes, qmask, tmask, maps, gt,
+                                         gmask)
+
+        cls_l, bbox_l, num_pos = nn.apply(run, model)({'params': {}})
+        assert float(num_pos) == 1.0
+        # 4 valid cells at p=0.5: one positive (alpha .25) three negative
+        # (alpha .75), focal = alpha * 0.25 * ln2, normalizer = num_pos = 1
+        expected = (0.25 + 3 * 0.75) * 0.25 * np.log(2.0)
+        np.testing.assert_allclose(float(cls_l), expected, rtol=1e-5)
+        # exact-match box: corner chamfer loss is 0 over the matched row
+        np.testing.assert_allclose(float(bbox_l), 0.0, atol=1e-6)
+
+
 class TestGrounder:
 
     @pytest.fixture(scope='class')
