@@ -134,7 +134,7 @@ def gather_matmul_conv_fast(feats: jax.Array, mask: jax.Array,
                             interpret: bool = False) -> jax.Array:
     """Drop-in for ``sparse.gather_matmul_conv``: Pallas fast path with an
     exact XLA fallback when any band overflows (lax.cond picks at runtime)."""
-    from .sparse import gather_matmul_conv
+    from ..ops.sparse import gather_matmul_conv
     m, k = nbr.shape
     n, c = feats.shape
     if n < BAND or m % TILE != 0:

@@ -493,3 +493,191 @@ def load_reference_detector(variables, torch_state_dict, mink_depth=34,
     hp, hs = convert_fcaf_head(torch_state_dict, flip=flip)
     var, n3, s3 = _merge_into(var, hp, hs, ('bbox_head',))
     return var, n1 + n2 + n3, s1 + s2 + s3
+
+
+# ---------------------------------------------------------------------------
+# Reference grounding checkpoint -> our SparseFusionGrounder tree
+# ---------------------------------------------------------------------------
+
+def _put(tree, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = np.asarray(value)
+
+
+def _torch_linear(params, dst, sd, src):
+    _put(params, dst + ('kernel',), sd[src + '.weight'].T)
+    if src + '.bias' in sd:
+        _put(params, dst + ('bias',), sd[src + '.bias'])
+
+
+def _torch_mha(params, dst, sd, src, num_heads):
+    """torch nn.MultiheadAttention -> flax MultiHeadDotProductAttention.
+
+    in_proj (3E, E) splits into q/k/v (E, E); flax kernels are
+    (E, H, E/H) for q/k/v and (H, E/H, E) for out.
+    """
+    w = sd[src + '.attn.in_proj_weight']
+    b = sd[src + '.attn.in_proj_bias']
+    e = w.shape[1]
+    hd = e // num_heads
+    for i, name in enumerate(('query', 'key', 'value')):
+        wi = w[i * e:(i + 1) * e]  # (E, E) out x in
+        bi = b[i * e:(i + 1) * e]
+        _put(params, dst + (name, 'kernel'),
+             wi.T.reshape(e, num_heads, hd))
+        _put(params, dst + (name, 'bias'), bi.reshape(num_heads, hd))
+    wo = sd[src + '.attn.out_proj.weight']  # (E, E)
+    _put(params, dst + ('out', 'kernel'), wo.T.reshape(num_heads, hd, e))
+    _put(params, dst + ('out', 'bias'), sd[src + '.attn.out_proj.bias'])
+
+
+def _torch_ln(params, dst, sd, src):
+    _put(params, dst + ('scale',), sd[src + '.weight'])
+    _put(params, dst + ('bias',), sd[src + '.bias'])
+
+
+def _posembed(params, stats, dst, sd, src):
+    """PositionEmbeddingLearned: Conv1d(k=1)+BN1d+ReLU+Conv1d(k=1)
+    (reference decoder.py:20-34) -> Dense + MaskedBatchNorm + Dense."""
+    head = src + '.position_embedding_head'
+    _put(params, dst + ('Dense_0', 'kernel'), sd[head + '.0.weight'][:, :, 0].T)
+    _put(params, dst + ('Dense_0', 'bias'), sd[head + '.0.bias'])
+    _put(params, dst + ('MaskedBatchNorm_0', 'scale'), sd[head + '.1.weight'])
+    _put(params, dst + ('MaskedBatchNorm_0', 'bias'), sd[head + '.1.bias'])
+    _put(stats, dst + ('MaskedBatchNorm_0', 'mean'),
+         sd[head + '.1.running_mean'])
+    _put(stats, dst + ('MaskedBatchNorm_0', 'var'),
+         sd[head + '.1.running_var'])
+    _put(params, dst + ('Dense_1', 'kernel'), sd[head + '.3.weight'][:, :, 0].T)
+    _put(params, dst + ('Dense_1', 'bias'), sd[head + '.3.bias'])
+
+
+def convert_mink_neck(state_dict, n_levels: int = 4,
+                      prefix: str = 'neck_3d.', flip: bool = False):
+    """Reference MinkNeck (mink_neck.py:102-131) -> our neck tree.
+
+    Same per-level up/out block layout as the FCAF head, plus the biased
+    1x1 ``conv_cls`` score head.
+    """
+    sd = {k[len(prefix):]: np.asarray(v) for k, v in state_dict.items()
+          if k.startswith(prefix)}
+    params, stats = {}, {}
+
+    def bn(dst, src):
+        for key in (f'{src}.bn.', f'{src}.'):
+            if key + 'weight' in sd:
+                _put(params, dst + ('scale',), sd[key + 'weight'])
+                _put(params, dst + ('bias',), sd[key + 'bias'])
+                _put(stats, dst + ('mean',), sd[key + 'running_mean'])
+                _put(stats, dst + ('var',), sd[key + 'running_var'])
+                return
+        raise KeyError(f'{prefix}{src} batchnorm not in state dict')
+
+    for i in range(1, n_levels):
+        _put(params, (f'up_block_{i}_tconv',),
+             _me_kernel(sd[f'up_block_{i}.0.kernel'], flip))
+        bn((f'up_block_{i}_bn1',), f'up_block_{i}.1')
+        _put(params, (f'up_block_{i}_conv', 'kernel'),
+             _me_kernel(sd[f'up_block_{i}.3.kernel'], flip))
+        bn((f'up_block_{i}_bn2',), f'up_block_{i}.4')
+    for i in range(n_levels):
+        _put(params, (f'out_block_{i}_conv', 'kernel'),
+             _me_kernel(sd[f'out_block_{i}.0.kernel'], flip))
+        bn((f'out_block_{i}_bn',), f'out_block_{i}.1')
+    _put(params, ('conv_cls', 'kernel'), _me_pointwise(sd['conv_cls.kernel']))
+    _put(params, ('conv_cls', 'bias'), sd['conv_cls.bias'].reshape(-1))
+    return params, stats
+
+
+def convert_ground_decoder(state_dict, num_layers: int = 6,
+                           num_heads: int = 8, prefix: str = 'decoder.'):
+    """Reference SparseFeatureFusionTransformerDecoder -> our decoder tree.
+
+    Maps per-layer self/text/point attention + FFN + 4 norms
+    (decoder.py:92-180), the decoder-level learned posembeds and final norm
+    (decoder.py:211-222). The per-LAYER ``self_posembed`` modules the
+    reference constructs but never calls in the decoder forward
+    (decoder.py:103 vs :270) are ignored.
+    """
+    sd = {k[len(prefix):]: np.asarray(v) for k, v in state_dict.items()
+          if k.startswith(prefix)}
+    params, stats = {}, {}
+    for i in range(num_layers):
+        src = f'layers.{i}'
+        dst = (f'layer{i}',)
+        _torch_mha(params, dst + ('self_attn',), sd, f'{src}.self_attn',
+                   num_heads)
+        _torch_mha(params, dst + ('cross_attn_text',), sd,
+                   f'{src}.cross_attn_text', num_heads)
+        _torch_mha(params, dst + ('cross_attn',), sd, f'{src}.cross_attn',
+                   num_heads)
+        _torch_linear(params, dst + ('ffn_fc1',), sd,
+                      f'{src}.ffn.layers.0.0')
+        _torch_linear(params, dst + ('ffn_fc2',), sd, f'{src}.ffn.layers.1')
+        for n in range(4):
+            _torch_ln(params, dst + (f'norm{n}',), sd, f'{src}.norms.{n}')
+    _posembed(params, stats, ('self_posembed',), sd, 'self_posembed')
+    _posembed(params, stats, ('cross_posembed',), sd, 'cross_posembed')
+    _torch_ln(params, ('decoder_norm',), sd, 'norm')
+    return params, stats
+
+
+def load_reference_grounder(variables, torch_state_dict, mink_depth=34,
+                            resnet_depth=50, num_layers=6, num_heads=8,
+                            flip=False):
+    """Load a full reference grounding checkpoint into SparseFusionGrounder.
+
+    Covers every trainable group of ``SparseFeatureFusion3DGrounder``
+    (sparse_featfusion_grounder.py:78-116): 2D/3D backbones, MinkNeck,
+    RoBERTa + text_feat_map, decoder, and the shared grounding-head
+    branches (share_pred_layer=True: ``reg_branches.0`` Sequential(0/2/4
+    Linears) -> fc0/fc1/out, ``cls_branches.0.bias`` -> ContrastiveEmbed).
+    Returns (variables, n_loaded, skipped_paths).
+    """
+    sd = torch_state_dict
+    var = variables
+    # each group is optional: partial checkpoints (backbone-only warm
+    # starts, text-frozen dumps) load whatever they contain
+    n1 = n2 = n4 = 0
+    s1, s2, s4 = [], [], []
+    if 'backbone.conv1.weight' in sd:
+        var, n1, s1 = load_resnet_into_variables(
+            var,
+            {k[len('backbone.'):]: v for k, v in sd.items()
+             if k.startswith('backbone.')},
+            depth=resnet_depth, prefix=('trunk', 'ResNet_0'))
+    if 'backbone_3d.conv1.kernel' in sd:
+        var, n2, s2 = load_mink_resnet_into_variables(
+            var, sd, depth=mink_depth, prefix=('trunk', 'MinkResNet_0'),
+            src_prefix='backbone_3d.', flip=flip)
+    np_, ns_ = convert_mink_neck(sd, flip=flip)
+    var, n3, s3 = _merge_into(var, np_, ns_, ('neck',))
+    if 'text_encoder.embeddings.word_embeddings.weight' in sd:
+        var, n4, s4 = load_roberta_into_variables(
+            var, sd, prefix=('text_encoder', 'FlaxRobertaModule_0'),
+            src_prefix='text_encoder.')
+    tp = {}
+    if 'text_feat_map.weight' in sd:
+        _torch_linear(tp, (), sd, 'text_feat_map')
+        var, n5, s5 = _merge_into(var, tp, {}, ('text_encoder', 'Dense_0'))
+    else:
+        n5, s5 = 0, []
+    dp, ds = convert_ground_decoder(sd, num_layers=num_layers,
+                                    num_heads=num_heads)
+    var, n6, s6 = _merge_into(var, dp, ds, ())
+    hp = {}
+    _torch_linear(hp, ('fc0',), sd, 'bbox_head.reg_branches.0.0')
+    _torch_linear(hp, ('fc1',), sd, 'bbox_head.reg_branches.0.2')
+    _torch_linear(hp, ('out',), sd, 'bbox_head.reg_branches.0.4')
+    var, n7, s7 = _merge_into(var, hp, {}, ('reg_branch',))
+    cp = {}
+    if 'bbox_head.cls_branches.0.bias' in sd:
+        _put(cp, ('bias',), sd['bbox_head.cls_branches.0.bias'].reshape(-1))
+        var, n8, s8 = _merge_into(var, cp, {}, ('cls_embed',))
+    else:
+        n8, s8 = 0, []
+    total = n1 + n2 + n3 + n4 + n5 + n6 + n7 + n8
+    skipped = s1 + s2 + s3 + s4 + s5 + s6 + s7 + s8
+    return var, total, skipped

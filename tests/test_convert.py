@@ -275,8 +275,9 @@ class TestFCAFHeadConversion:
         hp, hs = convert_fcaf_head(sd)
         var, loaded, skipped = _merge_into(variables, hp, hs, ('bbox_head',))
         assert not skipped, skipped[:8]
-        # everything except the (bias-free in ME) SparseConv biases loads
-        assert loaded >= 60, loaded
+        # every leaf the converter emits lands: 35 params (18 up-block +
+        # 12 out-block + 4 head convs + scales) + 20 bn stats
+        assert loaded == 55, loaded
         # scales vector assembled from per-level scalars
         np.testing.assert_allclose(
             np.asarray(var['params']['bbox_head']['scales']),
@@ -286,3 +287,103 @@ class TestFCAFHeadConversion:
         got = var['params']['bbox_head']['up_block_1_tconv']
         np.testing.assert_allclose(
             got[1], sd['bbox_head.up_block_1.0.kernel'][4])
+
+
+class TestGrounderConversion:
+    """Full reference grounding checkpoint -> our SparseFusionGrounder."""
+
+    def _fake_grounder_sd(self, in_channels=(80, 160, 320, 640), e=32,
+                          heads=8, layers=2, ffn=2048):
+        rng = np.random.RandomState(0)
+        sd = {}
+        # neck_3d (MinkNeck): same block layout as the FCAF head + conv_cls
+        for i in range(1, 4):
+            cin, cout = in_channels[i], in_channels[i - 1]
+            sd[f'neck_3d.up_block_{i}.0.kernel'] = rng.randn(8, cin, cout)
+            sd[f'neck_3d.up_block_{i}.3.kernel'] = rng.randn(27, cout, cout)
+            for idx in (1, 4):
+                p = f'neck_3d.up_block_{i}.{idx}'
+                sd[f'{p}.bn.weight'] = rng.randn(cout)
+                sd[f'{p}.bn.bias'] = rng.randn(cout)
+                sd[f'{p}.bn.running_mean'] = rng.randn(cout)
+                sd[f'{p}.bn.running_var'] = np.abs(rng.randn(cout)) + 0.5
+        for i in range(4):
+            cin = in_channels[i]
+            sd[f'neck_3d.out_block_{i}.0.kernel'] = rng.randn(27, cin, e)
+            p = f'neck_3d.out_block_{i}.1'
+            sd[f'{p}.bn.weight'] = rng.randn(e)
+            sd[f'{p}.bn.bias'] = rng.randn(e)
+            sd[f'{p}.bn.running_mean'] = rng.randn(e)
+            sd[f'{p}.bn.running_var'] = np.abs(rng.randn(e)) + 0.5
+        sd['neck_3d.conv_cls.kernel'] = rng.randn(e, 1)
+        sd['neck_3d.conv_cls.bias'] = rng.randn(1)
+        # decoder layers (mmcv MultiheadAttention wraps .attn)
+        for i in range(layers):
+            for a in ('self_attn', 'cross_attn_text', 'cross_attn'):
+                p = f'decoder.layers.{i}.{a}.attn'
+                sd[f'{p}.in_proj_weight'] = rng.randn(3 * e, e)
+                sd[f'{p}.in_proj_bias'] = rng.randn(3 * e)
+                sd[f'{p}.out_proj.weight'] = rng.randn(e, e)
+                sd[f'{p}.out_proj.bias'] = rng.randn(e)
+            sd[f'decoder.layers.{i}.ffn.layers.0.0.weight'] = \
+                rng.randn(ffn, e)
+            sd[f'decoder.layers.{i}.ffn.layers.0.0.bias'] = rng.randn(ffn)
+            sd[f'decoder.layers.{i}.ffn.layers.1.weight'] = rng.randn(e, ffn)
+            sd[f'decoder.layers.{i}.ffn.layers.1.bias'] = rng.randn(e)
+            for n in range(4):
+                sd[f'decoder.layers.{i}.norms.{n}.weight'] = rng.randn(e)
+                sd[f'decoder.layers.{i}.norms.{n}.bias'] = rng.randn(e)
+        # decoder-level posembeds + final norm
+        for name, cin in (('self_posembed', 9), ('cross_posembed', 3)):
+            h = f'decoder.{name}.position_embedding_head'
+            sd[f'{h}.0.weight'] = rng.randn(e, cin, 1)
+            sd[f'{h}.0.bias'] = rng.randn(e)
+            sd[f'{h}.1.weight'] = rng.randn(e)
+            sd[f'{h}.1.bias'] = rng.randn(e)
+            sd[f'{h}.1.running_mean'] = rng.randn(e)
+            sd[f'{h}.1.running_var'] = np.abs(rng.randn(e)) + 0.5
+            sd[f'{h}.3.weight'] = rng.randn(e, e, 1)
+            sd[f'{h}.3.bias'] = rng.randn(e)
+        sd['decoder.norm.weight'] = rng.randn(e)
+        sd['decoder.norm.bias'] = rng.randn(e)
+        # shared head branches (share_pred_layer=True)
+        sd['bbox_head.reg_branches.0.0.weight'] = rng.randn(e, e)
+        sd['bbox_head.reg_branches.0.0.bias'] = rng.randn(e)
+        sd['bbox_head.reg_branches.0.2.weight'] = rng.randn(e, e)
+        sd['bbox_head.reg_branches.0.2.bias'] = rng.randn(e)
+        sd['bbox_head.reg_branches.0.4.weight'] = rng.randn(9, e)
+        sd['bbox_head.reg_branches.0.4.bias'] = rng.randn(9)
+        sd['bbox_head.cls_branches.0.bias'] = np.array([0.1])
+        # unit-variance randn weights explode through the 2048-wide FFN
+        # (finite-loss check below); scale everything but the BN variances
+        return {k: v * (1.0 if 'running_var' in k else 0.05)
+                for k, v in sd.items()}
+
+    def test_merges_into_grounder(self):
+        from test_grounding import grounding_batch, tiny_grounder
+
+        from embodiedscan_tpu.utils.convert_weights import \
+            load_reference_grounder
+        rng = np.random.RandomState(0)
+        model = tiny_grounder()
+        batch = grounding_batch(rng)
+        variables = jax.jit(lambda r, b: model.init(
+            r, b, train=False, mode='feats'))(jax.random.PRNGKey(0), batch)
+        sd = self._fake_grounder_sd()
+        var, loaded, skipped = load_reference_grounder(
+            variables, sd, num_layers=2, num_heads=8)
+        assert not skipped, skipped[:8]
+        # neck + decoder + posembeds + head branches all land: 72 decoder
+        # layer leaves (2 layers) + 16 posembed + 2 decoder_norm + 50 neck
+        # (30 params + 20 bn stats) + 2 conv_cls + 6 reg branch + 1 cls bias
+        assert loaded == 149, loaded
+        # attention q kernel transposed into (E, H, E/H)
+        got = var['params']['layer0']['self_attn']['query']['kernel']
+        e = 32
+        want = sd['decoder.layers.0.self_attn.attn.in_proj_weight'][:e].T
+        np.testing.assert_allclose(np.asarray(got).reshape(e, e), want)
+        # converted weights still run the loss path
+        out, _ = model.apply(
+            {'params': var['params'], 'batch_stats': var['batch_stats']},
+            batch, train=True, mode='loss', mutable=['batch_stats'])
+        assert all(np.isfinite(float(v)) for v in out.values())

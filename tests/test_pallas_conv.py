@@ -5,7 +5,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from embodiedscan_tpu.ops import pallas_conv as PC
+from embodiedscan_tpu.experimental import pallas_conv as PC
 from embodiedscan_tpu.ops import sparse as S
 
 

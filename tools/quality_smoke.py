@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Overfit-quality harness: train tiny models on synthetic scenes, report.
+
+Produces QUALITY.md with loss-collapse curves and memorization metrics for
+the detection / grounding / occupancy stacks — the first learning evidence
+for the full assign/decode/NMS/eval chains (tests/test_quality.py runs the
+same checks as marked-slow regression tests).
+
+Usage:
+    python tools/quality_smoke.py [--steps N] [--out QUALITY.md]
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, '.')
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--steps', type=int, default=100)
+    ap.add_argument('--out', default='QUALITY.md')
+    ap.add_argument('--platform', default='cpu')
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update('jax_platforms', args.platform)
+
+    import numpy as np
+
+    sys.path.insert(0, 'tests')
+    from test_quality import overfit, tiny_cfg
+
+    lines = ['# QUALITY — synthetic overfit evidence', '',
+             'Tiny models trained on ONE fixed synthetic batch; the loss '
+             'must collapse and detection must recover the memorized boxes '
+             'through the full predict -> NMS -> indoor_eval chain '
+             '(VERDICT r1 item 3).', '']
+
+    cfg = tiny_cfg('mv_det3d')
+    model, variables, batch, losses = overfit(cfg, steps=args.steps)
+    preds = jax.device_get(
+        jax.jit(lambda v, b: model.apply(v, b, train=False,
+                                         mode='predict'))(variables, batch))
+    from embodiedscan_tpu.eval.indoor_eval import indoor_eval
+    gts, dts = [], []
+    for i in range(batch['points'].shape[0]):
+        keep = preds['mask'][i]
+        dts.append(dict(bboxes=preds['bboxes'][i][keep],
+                        scores=preds['scores'][i][keep],
+                        labels=preds['labels'][i][keep]))
+        gm = np.asarray(batch['gt_mask'][i])
+        gts.append(dict(gt_boxes=np.asarray(batch['gt_boxes'][i])[gm],
+                        gt_labels=np.asarray(batch['gt_labels'][i])[gm]))
+    m = indoor_eval(gts, dts, (0.25, 0.5))
+    lines += [f'## mv_det3d ({args.steps} steps)', '',
+              f'- loss: {np.mean(losses[:5]):.3f} -> '
+              f'{np.mean(losses[-5:]):.3f}',
+              f'- overfit mAP@0.25: **{m["mAP_0.25"]:.3f}**  '
+              f'mAP@0.5: {m.get("mAP_0.5", float("nan")):.3f}', '']
+    print(lines[-3], lines[-2])
+
+    for task, steps in (('mv_grounding', args.steps),
+                        ('mv_occ', max(40, args.steps // 2))):
+        _, _, _, losses = overfit(tiny_cfg(task), steps=steps)
+        lines += [f'## {task} ({steps} steps)', '',
+                  f'- loss: {np.mean(losses[:5]):.3f} -> '
+                  f'{np.mean(losses[-5:]):.3f}', '']
+        print(lines[-2])
+
+    with open(args.out, 'w') as f:
+        f.write('\n'.join(lines) + '\n')
+    print(f'wrote {args.out}')
+
+
+if __name__ == '__main__':
+    main()
