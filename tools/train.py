@@ -28,11 +28,22 @@ def main():
                              'vars alone cannot switch to CPU')
     parser.add_argument('--synthetic', action='store_true',
                         help='use the synthetic fixture dataset')
+    parser.add_argument('--multihost', action='store_true',
+                        help='initialize jax.distributed (one process per '
+                             'host; slurm/GKE/TPU-pod auto-detected) — the '
+                             'reference --launcher slurm/mpi analog')
     args = parser.parse_args()
 
     if args.platform:
         import jax
         jax.config.update('jax_platforms', args.platform)
+    if args.multihost:
+        from embodiedscan_tpu.parallel.multihost import init_distributed
+        active = init_distributed()
+        import jax
+        print(f'multihost: active={active} process '
+              f'{jax.process_index()}/{jax.process_count()}, '
+              f'{jax.local_device_count()} local devices')
 
     from embodiedscan_tpu.configs.base import PRESETS, apply_overrides
     cfg = PRESETS[args.config]()
