@@ -204,5 +204,41 @@ def indoor_eval(gt_annos: List[dict],
                     np.mean(rec_list)) if rec_list else 0.0
 
     if verbose:
+        print(per_class_table(ret, sorted(ap[iou_thr[0]]), iou_thr,
+                              label2cat))
         print('\n'.join(lines))
     return ret
+
+
+def per_class_table(ret: dict, labels, iou_thr, label2cat=None) -> str:
+    """Reference-style per-class AP/AR table (indoor_eval.py:329-334).
+
+    Plain fixed-width text instead of terminaltables' AsciiTable (same
+    columns: classes, then AP_tt/AR_tt per threshold, Overall last row).
+    """
+    header = ['classes'] + [
+        f'{m}_{t:.2f}' for t in iou_thr for m in ('AP', 'AR')
+    ]
+    rows = []
+    for lab in labels:
+        name = label2cat[lab] if label2cat else str(lab)
+        rows.append([name] + [
+            f'{ret.get(f"{name}_{m}_{t:.2f}", float("nan")):.4f}'
+            for t in iou_thr for m in (('AP', 'rec')[m_i] for m_i in (0, 1))
+        ])
+    rows.append(['Overall'] + [
+        f'{ret.get(f"m{m}_{t:.2f}", 0.0):.4f}'
+        for t in iou_thr for m in ('AP', 'AR')
+    ])
+    widths = [
+        max(len(header[c]), *(len(r[c]) for r in rows))
+        for c in range(len(header))
+    ]
+    sep = '+' + '+'.join('-' * (w + 2) for w in widths) + '+'
+    out = [sep, '| ' + ' | '.join(h.ljust(w) for h, w in zip(header, widths))
+           + ' |', sep]
+    for r in rows:
+        out.append('| ' + ' | '.join(v.ljust(w) for v, w in zip(r, widths))
+                   + ' |')
+    out.append(sep)
+    return '\n'.join(out)

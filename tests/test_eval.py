@@ -105,3 +105,21 @@ def test_grounding_format_results(tmp_path):
         assert len(r['bboxes_3d']) == 20
         scores = r['scores_3d']
         assert scores == sorted(scores, reverse=True)
+
+
+def test_per_class_table():
+    """Reference-style per-class table renders names and overall row."""
+    from embodiedscan_tpu.eval.indoor_eval import indoor_eval, per_class_table
+    boxes = np.concatenate([np.zeros((2, 3)), np.full((2, 3), 1.0),
+                            np.zeros((2, 3))], -1)
+    gts = [dict(gt_boxes=boxes, gt_labels=np.array([0, 1]))]
+    dts = [dict(bboxes=boxes, scores=np.array([0.9, 0.8]),
+                labels=np.array([0, 1]))]
+    l2c = {0: 'chair', 1: 'table'}
+    ret = indoor_eval(gts, dts, (0.25,), label2cat=l2c, verbose=False)
+    table = per_class_table(ret, [0, 1], (0.25,), l2c)
+    assert 'chair' in table and 'table' in table and 'Overall' in table
+    assert '1.0000' in table
+    # all rows align to the same width
+    widths = {len(line) for line in table.splitlines()}
+    assert len(widths) == 1
