@@ -79,8 +79,10 @@ def run(scale: str):
                      backbone_capacities=(65536, 32768, 24576, 8192, 4096,
                                           2048),
                      fpn_capacities=(24576, 8192, 4096, 2048)),
-        # b>1 at full scale currently crashes the on-host AOT compile helper
-        # (exit 1, likely compiler memory); b=1 compiles and runs.
+        # b>1 full scale compiles via the rolled scan bmap mode (set below)
+        # but measures SLOWER per scene than b=1 (2.13 vs 3.14 scenes/s):
+        # the per-sample sort pipelines serialize under lax.scan. b=1 is the
+        # shipping config; BENCH_B=2 reproduces the measurement.
         'small': dict(b=1, p=20_000, v=8, hw=256, g=64, classes=284,
                       input_capacity=32768,
                       backbone_capacities=(16384, 8192, 8192, 4096, 2048,
@@ -149,14 +151,20 @@ def run(scale: str):
     for _ in range(2):
         state, metrics = step(state, batch)
         loss = float(metrics['loss_total'])
-    n_iter = int(os.environ.get('BENCH_ITERS', '5'))
+    n_iter = int(os.environ.get('BENCH_ITERS', '10'))
+    # sync cadence: each step consumes the previous step's state, so ONE
+    # value fetch at the end of the chain is a full-pipeline sync (value
+    # fetches are the honest sync point under the remote runtime — plain
+    # block_until_ready has been observed not to account the full chain).
+    # Chained dispatch is the steady-state training profile; per-step
+    # fetches (BENCH_SYNC_EVERY=1) add the ~25 ms RPC round trip to every
+    # iteration and measure dispatch latency, not throughput.
+    sync_every = int(os.environ.get('BENCH_SYNC_EVERY', str(n_iter)))
     t0 = time.time()
-    for _ in range(n_iter):
+    for i in range(n_iter):
         state, metrics = step(state, batch)
-        # fetch the scalar every iteration: under the remote-TPU runtime,
-        # block_until_ready alone has been observed not to account the full
-        # chain — value fetches are the honest sync point
-        loss = float(metrics['loss_total'])
+        if (i + 1) % sync_every == 0 or i == n_iter - 1:
+            loss = float(metrics['loss_total'])
     dt = (time.time() - t0) / n_iter
     # MFU vs the v5e bf16 peak (197 TFLOP/s). The image branch runs bf16,
     # the sparse branch f32; XLA's flops estimate is dtype-agnostic, so

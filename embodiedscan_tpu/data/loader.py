@@ -26,8 +26,11 @@ class SyntheticLoader:
         self.steps_per_epoch = max(1, n_scans // self.batch_size)
         from .synthetic import make_scan
         views = max(d.n_views_train, 4)
+        # g == max_boxes: every packed GT slot is a real object and every
+        # box point cluster in the cloud has a GT (no ghost distractors)
         self._scans = [
-            make_scan(seed=i, n_views=views, hw=(64, 64), g=8,
+            make_scan(seed=i, n_views=views, hw=(64, 64),
+                      g=min(d.max_boxes, 16),
                       num_classes=cfg.model.num_classes)
             for i in range(n_scans)
         ]
@@ -86,6 +89,11 @@ class SyntheticLoader:
             sample['text_ids'] = enc['input_ids'][0]
             sample['text_mask'] = enc['attention_mask'][0]
             sample['positive_maps'] = maps[0]
+            # deterministic pseudo flags so the eval bucket paths
+            # (Easy/Hard/View-Dep/Unique) are exercised on synthetic data
+            sample['is_view_dep'] = np.bool_(seed % 3 == 0)
+            sample['is_hard'] = np.bool_(seed % 2 == 0)
+            sample['is_unique'] = np.bool_(seed % 5 == 0)
         return sample
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

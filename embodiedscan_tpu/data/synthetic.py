@@ -12,7 +12,7 @@ from typing import Dict
 
 import numpy as np
 
-from ..geometry.np_boxes import corners_np
+from ..geometry.np_boxes import corners_np, euler_zxy_to_matrix_np
 from . import pipeline as pl
 
 
@@ -31,11 +31,11 @@ def _scene_cloud(rng, n=60000, room=(6.0, 6.0, 3.0)):
 
 def _boxes(rng, g, room=(6.0, 6.0, 3.0), num_classes=284):
     centers = np.stack([
-        rng.uniform(0.5, room[0] - 0.5, g),
-        rng.uniform(0.5, room[1] - 0.5, g),
-        rng.uniform(0.2, 1.2, g)
+        rng.uniform(0.8, room[0] - 0.8, g),
+        rng.uniform(0.8, room[1] - 0.8, g),
+        rng.uniform(0.4, 1.1, g)
     ], -1)
-    sizes = rng.uniform(0.2, 1.2, (g, 3))
+    sizes = rng.uniform(0.5, 1.4, (g, 3))
     angles = np.stack([
         rng.uniform(-np.pi, np.pi, g),
         rng.uniform(-0.2, 0.2, g),
@@ -94,17 +94,23 @@ def make_scan(seed: int = 0, n_views: int = 6, hw=(128, 128), g: int = 8,
     room = (6.0, 6.0, 3.0)
     cloud = _scene_cloud(rng, room=room)
     boxes, labels = _boxes(rng, g, room, num_classes)
-    # sprinkle points on the gt box surfaces so boxes are "visible"
+    # sprinkle points on and *inside* the gt boxes so boxes are "visible":
+    # FCAF assignment needs strictly-interior locations (min face distance
+    # > 0) — boundary-only surface points never produce positives
     corners = corners_np(boxes)
-    for c8 in corners:
-        t = rng.uniform(0, 1, (600, 2)).astype(np.float32)
+    for bx, c8 in zip(boxes, corners):
+        rot = euler_zxy_to_matrix_np(bx[6:9])
+        local = rng.uniform(-0.45, 0.45, (450, 3)).astype(np.float32) \
+            * bx[3:6]
+        interior = (local @ rot.T + bx[:3]).astype(np.float32)
+        t = rng.uniform(0, 1, (150, 2)).astype(np.float32)
         # bilinear points on the top face (corners 1, 2, 6, 5 have z1)
         a, b, c, d = c8[1], c8[2], c8[6], c8[5]
         face = (a[None] * (1 - t[:, :1]) * (1 - t[:, 1:]) +
                 b[None] * (1 - t[:, :1]) * t[:, 1:] +
                 c[None] * t[:, :1] * t[:, 1:] +
                 d[None] * t[:, :1] * (1 - t[:, 1:]))
-        cloud = np.concatenate([cloud, face.astype(np.float32)])
+        cloud = np.concatenate([cloud, interior, face.astype(np.float32)])
     h, w = hw
     k = np.array([[0.6 * w, 0, w / 2], [0, 0.6 * w, h / 2], [0, 0, 1]],
                  np.float32)

@@ -11,6 +11,11 @@ bench.py / the driver instead.
 import os
 
 os.environ['JAX_PLATFORMS'] = 'cpu'
+# one traced copy of the per-sample sort pipelines (vs b unrolled copies):
+# ~b-times faster XLA compile on this 1-core host, identical semantics. The
+# TPU-side sort-under-vmap penalty that motivates 'unroll' does not apply
+# to the CPU backend the suite runs on.
+os.environ.setdefault('EMBODIEDSCAN_BMAP', 'vmap')
 
 import jax
 

@@ -56,39 +56,34 @@ class TestDetector:
 
     @pytest.fixture(scope='class')
     def setup(self):
+        from helpers import jit_init
         rng = np.random.RandomState(0)
         batch = tiny_batch(rng)
         model = tiny_model()
-        variables = model.init(jax.random.PRNGKey(0), batch, train=False,
-                               mode='feats')
-        return model, variables, batch
+        return model, jit_init(model, batch), batch
 
-    def test_loss_finite(self, setup):
-        model, variables, batch = setup
-        losses, _ = model.apply(variables, batch, train=True, mode='loss',
-                                mutable=['batch_stats'])
+    @pytest.fixture(scope='class')
+    def losses_and_grads(self, setup):
+        from helpers import jit_losses_and_grads
+        return jit_losses_and_grads(*setup)
+
+    def test_loss_finite(self, losses_and_grads):
+        _, losses, _ = losses_and_grads
         for k, val in losses.items():
             assert np.isfinite(float(val)), k
         assert float(losses['loss_cls']) > 0
 
-    def test_grads_flow(self, setup):
-        model, variables, batch = setup
-
-        def loss_fn(params):
-            losses, _ = model.apply(
-                {'params': params, 'batch_stats': variables['batch_stats']},
-                batch, train=True, mode='loss', mutable=['batch_stats'])
-            return sum(losses.values())
-
-        grads = jax.grad(loss_fn)(variables['params'])
+    def test_grads_flow(self, losses_and_grads):
+        _, _, grads = losses_and_grads
         flat = jax.tree_util.tree_leaves(grads)
         assert all(np.isfinite(np.asarray(g)).all() for g in flat)
         total = sum(float(jnp.sum(jnp.abs(g))) for g in flat)
         assert total > 0
 
     def test_predict_shapes(self, setup):
+        from helpers import jit_predict
         model, variables, batch = setup
-        preds = model.apply(variables, batch, train=False, mode='predict')
+        preds = jit_predict(model, variables, batch)
         assert preds['bboxes'].shape == (2, 16, 9)
         assert preds['scores'].shape == (2, 16)
         assert preds['labels'].shape == (2, 16)
@@ -111,9 +106,8 @@ class TestYawHead:
             fpn_capacities=(256, 128, 64, 32), max_dets=16, nms_pre=64,
             max_candidates=64, resnet_depth=18, mink_depth=18,
             bbox_mode='yaw7d')
-        variables = model.init(jax.random.PRNGKey(0), batch, train=False,
-                               mode='feats')
-        return model, variables, batch
+        from helpers import jit_init
+        return model, jit_init(model, batch), batch
 
     def test_reg_channels(self, setup):
         model, variables, batch = setup
@@ -121,23 +115,16 @@ class TestYawHead:
         assert kern.shape[-1] == 7
 
     def test_loss_and_grads(self, setup):
-        model, variables, batch = setup
-
-        def loss_fn(params):
-            losses, _ = model.apply(
-                {'params': params, 'batch_stats': variables['batch_stats']},
-                batch, train=True, mode='loss', mutable=['batch_stats'])
-            return sum(losses.values()), losses
-
-        (total, losses), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(variables['params'])
+        from helpers import jit_losses_and_grads
+        total, _, grads = jit_losses_and_grads(*setup)
         assert np.isfinite(float(total))
         flat = jax.tree_util.tree_leaves(grads)
         assert all(np.isfinite(np.asarray(g)).all() for g in flat)
 
     def test_predict_boxes_yaw_only(self, setup):
+        from helpers import jit_predict
         model, variables, batch = setup
-        preds = model.apply(variables, batch, train=False, mode='predict')
+        preds = jit_predict(model, variables, batch)
         boxes = np.asarray(preds['bboxes'])
         assert np.isfinite(boxes).all()
         # beta/gamma angles must be exactly zero in yaw mode
@@ -169,36 +156,27 @@ class TestContinuousPseudoBatch:
         gm[1, 3:] = False
         shared['gt_mask'] = jnp.asarray(gm)
         model = tiny_model()
-        variables = model.init(jax.random.PRNGKey(0), shared, train=False,
-                               mode='feats')
-        return model, variables, shared
+        from helpers import jit_init
+        return model, jit_init(model, shared), shared
 
     def test_loss_and_grads(self, setup):
-        model, variables, batch = setup
-
-        def loss_fn(params):
-            losses, _ = model.apply(
-                {'params': params, 'batch_stats': variables['batch_stats']},
-                batch, train=True, mode='loss', mutable=['batch_stats'])
-            return sum(losses.values())
-
-        total, grads = jax.value_and_grad(loss_fn)(variables['params'])
+        from helpers import jit_losses_and_grads
+        total, _, grads = jit_losses_and_grads(*setup)
         assert np.isfinite(float(total))
         flat = jax.tree_util.tree_leaves(grads)
         assert all(np.isfinite(np.asarray(g)).all() for g in flat)
 
     def test_shared_images_match_tiled(self, setup):
         """One 2D-backbone pass per scan == running it per sweep."""
+        from helpers import jit_losses
         model, variables, shared = setup
         tiled = dict(shared)
         s = shared['points'].shape[0]
         tiled['imgs'] = jnp.tile(shared['imgs'], (s, 1, 1, 1, 1))
         tiled['proj'] = jnp.tile(shared['proj'], (s, 1, 1, 1))
         tiled['aug_inv'] = jnp.tile(shared['aug_inv'], (s, 1, 1))
-        a, _ = model.apply(variables, shared, train=True, mode='loss',
-                           mutable=['batch_stats'])
-        b, _ = model.apply(variables, tiled, train=True, mode='loss',
-                           mutable=['batch_stats'])
+        a = jit_losses(model, variables, shared)
+        b = jit_losses(model, variables, tiled)
         for k in a:
             np.testing.assert_allclose(float(a[k]), float(b[k]), rtol=1e-4,
                                        err_msg=k)
@@ -215,9 +193,8 @@ class TestBottleneckBackbone:
             backbone_capacities=(256, 128, 128, 64, 32, 16),
             fpn_capacities=(128, 64, 32, 16), max_dets=8, nms_pre=32,
             max_candidates=32, resnet_depth=18, mink_depth=50)
-        variables = model.init(jax.random.PRNGKey(0), batch, train=False,
-                               mode='feats')
-        losses, _ = model.apply(variables, batch, train=True, mode='loss',
-                                mutable=['batch_stats'])
+        from helpers import jit_init, jit_losses
+        variables = jit_init(model, batch)
+        losses = jit_losses(model, variables, batch)
         for k, val in losses.items():
             assert np.isfinite(float(val)), k

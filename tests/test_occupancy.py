@@ -74,33 +74,28 @@ class TestOccModel:
             resnet_base_channels=16,
             mink_depth=18,
             neck3d_channels=16)
-        variables = model.init(jax.random.PRNGKey(0), batch, train=False,
-                               mode='feats')
-        return model, variables, batch
+        from helpers import jit_init
+        return model, jit_init(model, batch), batch
 
-    def test_loss_finite(self, setup):
-        model, variables, batch = setup
-        losses, _ = model.apply(variables, batch, train=True, mode='loss',
-                                mutable=['batch_stats'])
+    @pytest.fixture(scope='class')
+    def losses_and_grads(self, setup):
+        from helpers import jit_losses_and_grads
+        return jit_losses_and_grads(*setup)
+
+    def test_loss_finite(self, losses_and_grads):
+        _, losses, _ = losses_and_grads
         assert 'loss_occ_0' in losses and 'loss_occ_2' in losses
         for k, v in losses.items():
             assert np.isfinite(float(v)), k
 
-    def test_grads_finite(self, setup):
-        model, variables, batch = setup
-
-        def loss_fn(params):
-            losses, _ = model.apply(
-                {'params': params, 'batch_stats': variables['batch_stats']},
-                batch, train=True, mode='loss', mutable=['batch_stats'])
-            return sum(losses.values())
-
-        grads = jax.grad(loss_fn)(variables['params'])
+    def test_grads_finite(self, losses_and_grads):
+        _, _, grads = losses_and_grads
         flat = jax.tree_util.tree_leaves(grads)
         assert all(np.isfinite(np.asarray(g)).all() for g in flat)
 
     def test_predict_shape(self, setup):
+        from helpers import jit_predict
         model, variables, batch = setup
-        pred = model.apply(variables, batch, train=False, mode='predict')
+        pred = jit_predict(model, variables, batch)
         assert pred.shape == (2, 8, 8, 4)
         assert (np.asarray(pred) >= 0).all()

@@ -35,10 +35,25 @@ def tiny_cfg(task: str):
     cfg.data.image_hw = (32, 32)
     m = cfg.model
     m.num_classes = 5
-    m.voxel_size = 0.05
-    m.input_capacity = 512
-    m.backbone_capacities = (512, 256, 256, 128, 64, 32)
-    m.fpn_capacities = (256, 128, 64, 32)
+    if task == 'mv_det3d':
+        # capacities must COVER the fixture's voxel counts: silent
+        # sorted-order truncation on overflow drops a spatial chunk (and the
+        # GT boxes in it), which silently zeroes the positive assignments.
+        # voxel 0.01 keeps level-0 cells (stride 8 -> 0.08 m) small enough
+        # that head locations land strictly inside the >=0.5 m fixture
+        # boxes. Measured per-stride unique-voxel counts on the 512-point
+        # fixture: s1..s8 <= 512, s16=454 s32=329 s64=165
+        m.voxel_size = 0.01
+        m.input_capacity = 512
+        m.backbone_capacities = (512, 512, 512, 512, 512, 384)
+        m.fpn_capacities = (512, 512, 384, 192)
+    else:
+        # grounding/occ only assert loss decrease — small capacities keep
+        # the single-core XLA compile minutes, not tens of minutes
+        m.voxel_size = 0.05
+        m.input_capacity = 512
+        m.backbone_capacities = (512, 256, 256, 128, 64, 32)
+        m.fpn_capacities = (256, 128, 64, 32)
     m.resnet_depth = 18
     m.mink_depth = 18
     m.max_dets = 16

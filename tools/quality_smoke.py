@@ -23,9 +23,23 @@ def main():
     ap.add_argument('--platform', default='cpu')
     args = ap.parse_args()
 
+    import os
+
+    # one traced copy of the per-sample sort pipelines: ~b-times faster XLA
+    # compile on a 1-core host; the sort-under-vmap TPU penalty does not
+    # apply to the CPU backend this smoke targets
+    if args.platform == 'cpu':
+        os.environ.setdefault('EMBODIEDSCAN_BMAP', 'vmap')
+
     import jax
     if args.platform:
         jax.config.update('jax_platforms', args.platform)
+    # persistent compile cache shared with the test suite (conftest):
+    # the overfit steps are compile-dominated on a single-core host
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
     import numpy as np
 
@@ -58,7 +72,7 @@ def main():
               f'- loss: {np.mean(losses[:5]):.3f} -> '
               f'{np.mean(losses[-5:]):.3f}',
               f'- overfit mAP@0.25: **{m["mAP_0.25"]:.3f}**  '
-              f'mAP@0.5: {m.get("mAP_0.5", float("nan")):.3f}', '']
+              f'mAP@0.5: {m.get("mAP_0.50", float("nan")):.3f}', '']
     print(lines[-3], lines[-2])
 
     for task, steps in (('mv_grounding', args.steps),
