@@ -68,6 +68,12 @@ class DataConfig:
     # local dir with RoBERTa vocab files (vocab.json/merges.txt); '' = the
     # offline hash tokenizer (reference: RobertaTokenizerFast, grounder:108)
     tokenizer_path: str = ''
+    # host data pipeline backend: 'auto' uses the threaded C++ core
+    # (embodiedscan_tpu/native) when it builds/loads on this host, 'numpy'
+    # forces the pure-python path. The TPU replacement for the reference's
+    # mmengine DataLoader num_workers pool. Synthetic fixtures always use
+    # numpy so test batches are bit-stable across hosts.
+    native_pipeline: str = 'auto'
 
 
 @dataclasses.dataclass

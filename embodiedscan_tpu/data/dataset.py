@@ -197,18 +197,22 @@ class EmbodiedScanLoader:
         n_views = d.n_views_train if self.train else d.n_views_test
         ids = pl.select_views(len(scan['views']), n_views,
                               ordered=not self.train, rng=rng)
-        pts_list, exts, ks, imgs, vis_ids = [], [], [], [], []
+        depths, dks, exts, ks, imgs, vis_ids = [], [], [], [], [], []
         for i in ids:
             view = load_view(scan['views'][i], scan['depth_shift'],
                              tuple(d.image_hw))
-            pts = pl.rgbd_to_points(view['depth'], view['depth_intrinsic'])
-            pts_list.append(pl.point_sample(pts, d.points_per_view, rng))
+            depths.append(view['depth'])
+            dks.append(view['depth_intrinsic'])
             exts.append(view['extrinsic'])
             ks.append(view['intrinsic'])
             imgs.append(pl.normalize_imgs(view['rgb'][None],
                                           bgr_to_rgb=False)[0])
             vis_ids.append(scan['views'][i]['visible_instance_ids'])
-        view_pts = pl.aggregate_points_list(pts_list, exts)
+        # fused back-project + sample + ego->global (threaded C++ when the
+        # native core is available; cfg.data.native_pipeline)
+        view_pts = pl.multiview_world_points(depths, dks, exts,
+                                             d.points_per_view, rng,
+                                             native=d.native_pipeline)
         boxes, labels = scan['gt_boxes'], scan['gt_labels']
 
         occ_task = task in ('mv_occ', 'cont_occ')

@@ -89,6 +89,45 @@ def aggregate_points(points_list: List[np.ndarray],
                           axis=0)
 
 
+def multiview_world_points(depths: np.ndarray, depth_intrinsics,
+                           extrinsics, points_per_view: int,
+                           rng: np.random.RandomState,
+                           native: str = 'auto') -> List[np.ndarray]:
+    """Per-view depth -> sampled world-frame point lists (fused hot path).
+
+    Semantically ``rgbd_to_points`` + ``point_sample`` +
+    ``aggregate_points_list`` per view. With ``native != 'numpy'`` and the
+    compiled core available (``embodiedscan_tpu.native``), the
+    back-projection/transform runs threaded C++ with deterministic
+    splitmix64 sampling (seeded from ``rng``); the numpy path keeps
+    RandomState sampling. Both are uniform samples of the same point set —
+    the row streams differ between backends.
+    """
+    v = len(depths)
+    same_hw = len({d.shape for d in depths}) == 1
+    if native != 'numpy' and same_hw:
+        from .. import native as nat
+        if nat.available():
+            pts, counts = nat.multiview_backproject(
+                np.stack(depths), np.stack(depth_intrinsics),
+                np.stack(extrinsics))
+            seeds = rng.randint(0, 2**31 - 1, size=v)
+            out = []
+            for i in range(v):
+                n = int(counts[i])
+                if n == 0:
+                    out.append(np.zeros((0, 3), np.float32))
+                    continue
+                idx = nat.sample_indices(n, points_per_view, int(seeds[i]))
+                out.append(nat.gather_rows3(pts[i], idx))
+            return out
+    per_view = [
+        point_sample(rgbd_to_points(depths[i], depth_intrinsics[i]),
+                     points_per_view, rng) for i in range(v)
+    ]
+    return aggregate_points_list(per_view, list(extrinsics))
+
+
 def random_flip(points: np.ndarray, boxes: np.ndarray,
                 rng: np.random.RandomState, ratio_h: float = 0.5,
                 ratio_v: float = 0.5):
