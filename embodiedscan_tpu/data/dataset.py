@@ -185,9 +185,35 @@ class EmbodiedScanLoader:
                 self.vg = json.load(f)
         else:
             self.vg = None
+        # per-process shard (reference DistSamplerSeedHook semantics,
+        # configs/default_runtime.py:9): batch_size is PER PROCESS; the
+        # global batch is batch_size * process_count
+        import jax
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
         self.steps_per_epoch = max(
             1,
-            len(self.infos) * max(1, d.repeat_times) // self.batch_size)
+            len(self.infos) * max(1, d.repeat_times)
+            // (self.batch_size * self.process_count))
+
+    def _shard(self, idx: np.ndarray) -> np.ndarray:
+        """This process's slice of an epoch's index list.
+
+        Train: rank-strided view of the (identically seeded) global
+        permutation. Eval: same, but padded by repeating the last index so
+        every process runs the SAME number of batches (collective calls
+        must not diverge across ranks); evaluate() de-duplicates via
+        gather_objects + the global scene count.
+        """
+        if self.process_count == 1:
+            self.local_real = len(idx)
+            return idx
+        mine = idx[self.process_index::self.process_count]
+        self.local_real = len(mine)  # rows past this are padding
+        per = -(-len(idx) // self.process_count)
+        if len(mine) < per and len(mine) > 0:
+            mine = np.concatenate([mine, mine[-1:].repeat(per - len(mine))])
+        return mine
 
     def _build_sample(self, info: dict, seed: int) -> Dict[str, np.ndarray]:
         d = self.cfg.data
@@ -281,6 +307,7 @@ class EmbodiedScanLoader:
                 idx = rng.permutation(epoch_len) % len(order)
             else:
                 idx = order
+            idx = self._shard(np.asarray(idx))
             collate = pl.collate_sweeps if self.cfg.model.task in (
                 'cont_det3d', 'cont_occ') else pl.collate
             for start in range(0, len(idx) - self.batch_size + 1,
@@ -378,7 +405,9 @@ class GroundingLoader(EmbodiedScanLoader):
         from ..models.text import get_tokenizer
         self.tokenizer = get_tokenizer(cfg.data.tokenizer_path,
                                        max_len=cfg.model.max_text_len)
-        self.steps_per_epoch = max(1, len(self.records) // self.batch_size)
+        self.steps_per_epoch = max(
+            1,
+            len(self.records) // (self.batch_size * self.process_count))
 
     def _build_vg_sample(self, rec: dict, seed: int):
         from ..models.text import build_positive_maps
@@ -412,6 +441,7 @@ class GroundingLoader(EmbodiedScanLoader):
         order = np.arange(len(self.records))
         while True:
             idx = rng.permutation(order) if self.train else order
+            idx = self._shard(np.asarray(idx))
             for start in range(0, len(idx) - self.batch_size + 1,
                                self.batch_size):
                 samples = [

@@ -82,6 +82,58 @@ def host_local_to_global(mesh, batch: Any) -> Any:
     }
 
 
+def fetch_local(mesh, tree: Any) -> Any:
+    """Sharded device output -> this process's host-local rows.
+
+    Single-process: plain ``jax.device_get``. Multi-process: each host gets
+    the (B_local, ...) slice of every data-sharded array it owns — the
+    per-rank half of the reference's ``collect_results`` protocol
+    (det_metric.py:126-142); :func:`gather_objects` is the other half.
+    """
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    from .mesh import batch_sharding
+    if isinstance(tree, dict):
+        return {
+            k: multihost_utils.global_array_to_host_local_array(
+                v, mesh, batch_sharding(mesh, k).spec)
+            for k, v in tree.items()
+        }
+    return multihost_utils.global_array_to_host_local_array(
+        tree, mesh, jax.sharding.PartitionSpec('data'))
+
+
+def gather_objects(objs: list) -> list:
+    """All-gather a per-process python list (rank order preserved).
+
+    The mmengine ``collect_results`` analog (det_metric.py:126-142): each
+    process contributes its local eval records; every process receives the
+    concatenation ordered by rank. Implemented as pickle -> padded uint8
+    allgather (JAX collectives move arrays, not objects).
+    """
+    if jax.process_count() == 1:
+        return list(objs)
+    import pickle
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    blob = np.frombuffer(pickle.dumps(objs), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.asarray([blob.size], np.int64))  # (P, 1)
+    pad = int(sizes.max())
+    padded = np.zeros((pad,), np.uint8)
+    padded[:blob.size] = blob
+    all_blobs = multihost_utils.process_allgather(padded)  # (P, pad)
+    out = []
+    for rank in range(jax.process_count()):
+        n = int(sizes[rank, 0])
+        out.extend(pickle.loads(all_blobs[rank, :n].tobytes()))
+    return out
+
+
 def all_processes_scalar(x) -> float:
     """Mean of a host scalar across processes (logging/metric sync) —
     the ``reduce_mean`` analog outside jit (dist_utils.py:4-10)."""

@@ -16,8 +16,7 @@ import jax
 import numpy as np
 
 from ..configs.base import Config, build_model
-from ..parallel.mesh import (batch_sharding, make_mesh, replicate,
-                             shard_batch)
+from ..parallel.mesh import batch_sharding, make_mesh, replicate
 from .checkpoint import CheckpointManager
 from .state import (TrainState, create_train_state, make_optimizer,
                     make_train_step, multistep_lr)
@@ -74,7 +73,16 @@ def init_model(cfg: Config, batch):
 
 
 def train(cfg: Config, max_steps: int | None = None):
-    """Run training per the config; returns the final TrainState."""
+    """Run training per the config; returns the final TrainState.
+
+    Multi-host: every process runs this same function. The loader yields
+    this process's local batch rows (disjoint scan shards, see
+    ``EmbodiedScanLoader._shard``), ``host_local_to_global`` assembles the
+    globally-sharded batch, and checkpoint writes are gated on
+    ``is_main_process`` — the reference's DistributedSampler + rank-0
+    CheckpointHook semantics (configs/default_runtime.py:6-9).
+    """
+    from ..parallel.multihost import host_local_to_global, is_main_process
     _setup_logging()
     mesh = make_mesh(jax.devices()[:cfg.n_devices] if cfg.n_devices else None)
     loader = make_dataset(cfg, train=True)
@@ -128,7 +136,7 @@ def train(cfg: Config, max_steps: int | None = None):
                 jax.profiler.stop_trace()
                 profiling = False
                 log.info('profiler trace written to %s', cfg.profile_dir)
-            batch = shard_batch(mesh, batch)
+            batch = host_local_to_global(mesh, batch)
             state, metrics = step_fn(state, batch)
             window.append(metrics)
             step += 1
@@ -143,10 +151,13 @@ def train(cfg: Config, max_steps: int | None = None):
                 window = []
                 t0 = time.time()
             if step % steps_per_epoch == 0:
-                ckpt.save(step, jax.device_get(state))
-                log.info('checkpoint saved at step %d (epoch %d)', step,
-                         step // steps_per_epoch)
-    if step % steps_per_epoch != 0:
+                if is_main_process():
+                    # rank-0-only write (mmengine CheckpointHook semantics);
+                    # state is fully replicated so device_get is local
+                    ckpt.save(step, jax.device_get(state))
+                    log.info('checkpoint saved at step %d (epoch %d)', step,
+                             step // steps_per_epoch)
+    if step % steps_per_epoch != 0 and is_main_process():
         ckpt.save(step, jax.device_get(state))
     return state
 
@@ -198,18 +209,21 @@ def _append_scene_results(cfg: Config, batch, preds, real_rows, gts, dts,
             dts.append(dict(bboxes=preds['bboxes'][i],
                             scores=preds['scores'][i]))
             gm = batch['gt_mask'][i]
+            # bucket flags are required: a loader that drops them would
+            # silently route every prompt to Easy/Indep/Multi and produce
+            # plausible-looking wrong tables (grounding_metric.py:70-152)
+            missing = [k for k in ('is_view_dep', 'is_hard', 'is_unique')
+                       if k not in batch]
+            if missing:
+                raise KeyError(
+                    f'grounding eval batch lacks bucket flags {missing}; '
+                    'the loader must emit is_view_dep/is_hard/is_unique '
+                    'per prompt (see GroundingLoader._build_vg_sample)')
             gts.append(
                 dict(gt_boxes=batch['gt_boxes'][i][gm],
-                     is_view_dep=bool(
-                         np.asarray(batch.get(
-                             'is_view_dep',
-                             [False] * real_rows)[i])),
-                     is_hard=bool(
-                         np.asarray(batch.get('is_hard',
-                                              [False] * real_rows)[i])),
-                     is_unique=bool(
-                         np.asarray(batch.get('is_unique',
-                                              [False] * real_rows)[i]))))
+                     is_view_dep=bool(np.asarray(batch['is_view_dep'][i])),
+                     is_hard=bool(np.asarray(batch['is_hard'][i])),
+                     is_unique=bool(np.asarray(batch['is_unique'][i]))))
         else:  # occupancy
             dts.append(preds[i])
             from ..models.occupancy import occ_multiscale_targets
@@ -223,7 +237,9 @@ def _append_scene_results(cfg: Config, batch, preds, real_rows, gts, dts,
             gts.append(np.asarray(tgt))
         if cfg.vis_dir and n % cfg.vis_interval == 0 and \
                 cfg.model.task != 'mv_occ':
-            _vis_hook(cfg, batch, preds, i, n)
+            from ..parallel.multihost import is_main_process
+            if is_main_process():  # @master_only (base_visualizer.py:71)
+                _vis_hook(cfg, batch, preds, i, n)
         n += 1
     return n
 
@@ -258,7 +274,16 @@ def evaluate(cfg: Config, state: TrainState | None = None,
     ``format_only`` (grounding): skip metrics and dump the top-20
     challenge-submission json into ``cfg.work_dir`` instead
     (reference grounding_metric.py:168-186).
+
+    Multi-host: each process infers its own scan shard (padded so every
+    rank runs the same number of collective steps), drops its padded tail,
+    and the per-rank records are all-gathered before the metric — the
+    reference's collect_results protocol (det_metric.py:126-158).
+    ``max_scenes`` is a single-process testing knob (an early break would
+    diverge collectives across ranks).
     """
+    from ..parallel.multihost import (fetch_local, gather_objects,
+                                      host_local_to_global, is_main_process)
     loader = make_dataset(cfg, train=False)
     first = next(iter(loader))
     model, variables = init_model(cfg, first)
@@ -283,34 +308,48 @@ def evaluate(cfg: Config, state: TrainState | None = None,
         lambda v, b: model.apply(v, b, train=False, mode='predict'),
         in_shardings=(None, batch_sharding(mesh)))
 
+    local_size = mesh.local_mesh.size
+
     def chunks():
-        """Groups of mesh.size scenes; the tail pads by repeating."""
+        """Groups of local_mesh.size scenes; the tail pads by repeating."""
         pending = []
         for batch in loader:
             pending.append(batch)
-            if len(pending) == mesh.size:
+            if len(pending) == local_size:
                 yield pending, len(pending)
                 pending = []
         if pending:
             real = len(pending)
-            pending += [pending[-1]] * (mesh.size - real)
+            pending += [pending[-1]] * (local_size - real)
             yield pending, real
 
     gts, dts = [], []
     n = 0
+    rows_per_scene = 1
     with mesh:
         for group, real in chunks():
             batch = _stack_eval_batches(group)
-            sbatch = shard_batch(mesh, batch)
-            preds = jax.device_get(predict(variables, sbatch))
+            sbatch = host_local_to_global(mesh, batch)
+            preds = fetch_local(mesh, predict(variables, sbatch))
             # rows per loader batch: 1 for mv tasks, V sweeps for cont
-            real_rows = real * group[0]['points'].shape[0]
+            rows_per_scene = group[0]['points'].shape[0]
+            real_rows = real * rows_per_scene
             n = _append_scene_results(cfg, batch, preds, real_rows, gts, dts,
                                       n)
             if max_scenes is not None and n >= max_scenes:
                 break
 
+    # drop this rank's shard padding (repeated last scene), then gather
+    local_real = getattr(loader, 'local_real', None)
+    if local_real is not None:
+        gts = gts[:local_real * rows_per_scene]
+        dts = dts[:local_real * rows_per_scene]
+    gts = gather_objects(gts)
+    dts = gather_objects(dts)
+
     if format_only and cfg.model.task == 'mv_grounding':
+        if not is_main_process():
+            return {'result_file': None}
         from ..eval.grounding_metric import format_results
         out = format_results(dts, cfg.work_dir)
         log.info('submission dump written to %s', out)
