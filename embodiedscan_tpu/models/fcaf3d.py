@@ -282,7 +282,7 @@ class FCAF3DHead(nn.Module):
                 score = jax.vmap(interp)(pcoords, pscores, pm, x.coords,
                                          x.mask, interp_idx)
                 keep = min(self.pts_prune_threshold, self.fpn_capacities[i])
-                x = S.bmap(S.topk_select, (0, 0, None))(x, score, keep)
+                x = S.btopk_select(x, score, keep)
 
             out = self._out_block(x, train, name=f'out_block_{i}')
             center = conv_center(out)

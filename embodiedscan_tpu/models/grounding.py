@@ -94,7 +94,7 @@ class MinkNeck(nn.Module):
                 score = jax.vmap(interp)(pcoords, pscores, pm, x.coords,
                                          x.mask, interp_idx)
                 keep = min(self.pts_prune_threshold, self.fpn_capacities[i])
-                x = S.bmap(S.topk_select, (0, 0, None))(x, score, keep)
+                x = S.btopk_select(x, score, keep)
             # out block: conv3 -> BN -> ELU to out_channels
             nbr = bneighbor_table(x, S.OFFSETS_3)
             f = SparseConv(self.out_channels, name=f'out_block_{i}_conv')(

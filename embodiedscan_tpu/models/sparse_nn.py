@@ -22,13 +22,18 @@ kaiming_out = nn.initializers.variance_scaling(2.0, 'fan_out', 'normal')
 
 
 def bneighbor_table(st: S.SparseTensor, offsets: np.ndarray) -> jax.Array:
-    """Batched neighbor table: (B, N, K). Unrolled over B (flat sorts)."""
+    """Batched neighbor table (B, N, K): one flat batched sort ('flat'
+    mode, batch id in the key) or per-sample flat sorts (bmap modes)."""
+    if S.BMAP_MODE == 'flat':
+        return S.neighbor_table_b(st, offsets)
     return S.bmap(lambda c, m: S.neighbor_table(S.SparseTensor(c, None, m),
                                                 offsets),
                   (0, 0))(st.coords, st.mask)
 
 
 def bdownsample(st: S.SparseTensor, capacity: int) -> S.DownsampleMap:
+    if S.BMAP_MODE == 'flat':
+        return S.downsample_coords_b(st, capacity)
     return S.bmap(
         lambda c, m: S.downsample_coords(S.SparseTensor(c, None, m), capacity),
         (0, 0))(st.coords, st.mask)
@@ -73,7 +78,15 @@ def strided_queries(st: S.SparseTensor, dmap: S.DownsampleMap,
                     offsets: np.ndarray) -> jax.Array:
     """Neighbor table for stride-2 convs: input rows at 2*o + k. (B, M, K)."""
 
-    from ..ops.hashing import lookup_merge
+    from ..ops.hashing import lookup_merge, lookup_merge_b
+
+    if S.BMAP_MODE == 'flat':
+        b, m = dmap.coords.shape[:2]
+        k = offsets.shape[0]
+        q = (dmap.coords[:, :, None, :] * 2 +
+             jnp.asarray(offsets)[None, None]).reshape(b, m * k, 3)
+        qm = jnp.repeat(dmap.mask, k, axis=1)
+        return lookup_merge_b(st.coords, st.mask, q, qm).reshape(b, m, k)
 
     def one(coords, mask, ocoords, omask):
         q = (ocoords[:, None, :] * 2 + jnp.asarray(offsets)[None]).reshape(-1, 3)
@@ -95,8 +108,31 @@ def stage_tables(st: S.SparseTensor, dmap: S.DownsampleMap,
     conv's backward gathers coarse rows at ``(j - k) / 2`` — the transpose
     table consumed by ``strided_gather_conv``.
     """
-    from ..ops.hashing import lookup_merge_multi
+    from ..ops.hashing import lookup_merge_multi, lookup_merge_multi_b
     offs = jnp.asarray(S.OFFSETS_3)
+
+    if S.BMAP_MODE == 'flat':
+        b, n = st.coords.shape[:2]
+        m = dmap.coords.shape[1]
+        ko = offs.shape[0]
+        sq = (dmap.coords[:, :, None, :] * 2 +
+              offs[None, None]).reshape(b, m * ko, 3)
+        nq = (dmap.coords[:, :, None, :] +
+              offs[None, None]).reshape(b, m * ko, 3)
+        qm = jnp.repeat(dmap.mask, ko, axis=1)
+        pairs = [(st.coords, st.mask, sq, qm),
+                 (dmap.coords, dmap.mask, nq, qm)]
+        if with_transpose:
+            tq = st.coords[:, :, None, :] - offs[None, None]  # (B, N, 27, 3)
+            even = jnp.all(tq % 2 == 0, axis=-1).reshape(b, -1)
+            tqm = jnp.repeat(st.mask, ko, axis=1) & even
+            pairs.append((dmap.coords, dmap.mask,
+                          jnp.floor_divide(tq, 2).reshape(b, -1, 3), tqm))
+        res = lookup_merge_multi_b(pairs)
+        s_idx = res[0].reshape(b, m, ko)
+        n_idx = res[1].reshape(b, m, ko)
+        t_idx = res[2].reshape(b, n, ko) if with_transpose else None
+        return s_idx, n_idx, t_idx
 
     def one(fc, fm, cc, cm):
         m = cc.shape[0]
@@ -137,8 +173,23 @@ def fpn_tables(up: S.SparseTensor, lateral: S.SparseTensor,
     Returns:
         (nbr (B,N,27), lateral_idx (B,L), interp_idx (B,N,8)).
     """
-    from ..ops.hashing import lookup_merge_multi
+    from ..ops.hashing import lookup_merge_multi, lookup_merge_multi_b
     offs3 = jnp.asarray(S.OFFSETS_3)
+
+    if S.BMAP_MODE == 'flat':
+        b, n = up.coords.shape[:2]
+        ko = offs3.shape[0]
+        nq = (up.coords[:, :, None, :] +
+              offs3[None, None]).reshape(b, n * ko, 3)
+        iq = S.interp_queries(
+            up.coords.reshape(-1, 3).astype(jnp.float32) / 2.0
+        ).reshape(b, n * 8, 3)
+        nbr, lat, itp = lookup_merge_multi_b([
+            (up.coords, up.mask, nq, jnp.repeat(up.mask, ko, axis=1)),
+            (up.coords, up.mask, lateral.coords, lateral.mask),
+            (pcoords, pmask, iq, jnp.repeat(up.mask, 8, axis=1)),
+        ])
+        return nbr.reshape(b, n, ko), lat, itp.reshape(b, n, 8)
 
     def one(uc, um, lc, lm, pc, pm):
         n = uc.shape[0]

@@ -59,8 +59,12 @@ class SparseFusionTrunk(nn.Module):
         pmask = batch['points_mask']
         # use_xyz_feat=True: xyz are also the features
         # (sparse_featfusion_single_stage.py:110-114)
-        st = S.bmap(S.from_points, (0, 0, 0, None, None))(
-            pts, pts, pmask, self.voxel_size, self.input_capacity)
+        if S.BMAP_MODE == 'flat':
+            st = S.from_points_b(pts, pts, pmask, self.voxel_size,
+                                 self.input_capacity)
+        else:
+            st = S.bmap(S.from_points, (0, 0, 0, None, None))(
+                pts, pts, pmask, self.voxel_size, self.input_capacity)
         levels = MinkResNet(depth=self.mink_depth,
                             capacities=tuple(self.backbone_capacities),
                             remat=self._remat('3d'))(st, train=train)

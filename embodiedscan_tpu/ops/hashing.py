@@ -227,6 +227,159 @@ def lookup_merge_multi(pairs) -> list:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Batched (flat) keys: batch id in the high bits of the SAME int32 key, so a
+# whole batch's coordinate op is ONE flat sort over B*N rows instead of B
+# sequential per-sample pipelines (VERDICT r2 #1). Because every sample
+# contributes exactly N rows and its keys (valid AND sentinel) carry its
+# batch bits, the sorted array splits into B static N-row segments — segment
+# reductions become plain reshapes, never segment scans.
+# ---------------------------------------------------------------------------
+
+
+def key_layout(n_batch: int) -> tuple:
+    """(bits_x, bits_y, bits_z) coordinate bit budget for a given batch size.
+
+    The batch id takes ceil(log2(B)) high bits; the remaining bits are
+    shaved from the per-axis extents in z, y, x order (z is indoor height —
+    the axis with the least real extent). B=1 keeps the full (11, 11, 10)
+    layout of :func:`pack_key32`. At 0.01 m stride-1 voxels the worst case
+    shipped (B=4 -> 11, 10, 9) still spans 20.5 x 10.2 x 5.1 m from the
+    scene's min corner; voxels beyond that are dropped (sentinel key), the
+    same overflow behavior the B=1 layout has at 20.5 m.
+    """
+    bb = max(0, int(n_batch - 1).bit_length())
+    assert bb <= 6, f'batch {n_batch} too large for a 32-bit packed key'
+    bits = {'x': 11, 'y': 11, 'z': 10}
+    for axis in ('z', 'y', 'x', 'z', 'y', 'x')[:bb]:
+        bits[axis] -= 1
+    return bits['x'], bits['y'], bits['z']
+
+
+def batch_origin(coords: jax.Array, valid: jax.Array) -> jax.Array:
+    """(B, 1, 3) per-sample min valid coordinate (the key origin)."""
+    return jnp.min(
+        jnp.where(valid[..., None], coords, jnp.int32(2**30)), axis=1,
+        keepdims=True)
+
+
+def pack_key32_b(coords: jax.Array, valid: jax.Array,
+                 origin: jax.Array | None = None) -> jax.Array:
+    """Batched order-preserving key: (B, N, 3) int32 coords -> (B, N) int32.
+
+    ``origin`` is the (B, 1, 3) key origin — table and queries of one join
+    MUST share it (the table's, as in :func:`lookup_merge`); it defaults to
+    this array's own per-sample min. Invalid/out-of-range rows get the
+    BATCH-LOCAL sentinel (batch bits | all-ones coords) so they sort to the
+    end of their own sample's segment, keeping segments static.
+    """
+    b = coords.shape[0]
+    bx, by, bz = key_layout(b)
+    if origin is None:
+        origin = batch_origin(coords, valid)
+    rel = coords - origin
+    in_range = (rel[..., 0] >= 0) & (rel[..., 0] < (1 << bx)) & \
+        (rel[..., 1] >= 0) & (rel[..., 1] < (1 << by)) & \
+        (rel[..., 2] >= 0) & (rel[..., 2] < (1 << bz))
+    ok = valid & in_range
+    r = rel.astype(jnp.uint32)
+    coord_key = (r[..., 0] << (by + bz)) | (r[..., 1] << bz) | r[..., 2]
+    sentinel = jnp.uint32((1 << (bx + by + bz)) - 1)
+    coord_key = jnp.where(ok, coord_key, sentinel)
+    bid = jnp.arange(b, dtype=jnp.uint32)[:, None] << (bx + by + bz)
+    return ((coord_key | bid) ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+
+
+def _coord_sentinel_mask(key: jax.Array, n_batch: int) -> jax.Array:
+    """True where a batched key is a (batch-local) sentinel."""
+    bx, by, bz = key_layout(n_batch)
+    mask = jnp.uint32((1 << (bx + by + bz)) - 1)
+    u = key.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
+    return (u & mask) == mask
+
+
+def lookup_merge_b(coords: jax.Array, mask: jax.Array, queries: jax.Array,
+                   qmask: jax.Array) -> jax.Array:
+    """Batched :func:`lookup_merge`: (B, N, 3) tables x (B, Q, 3) queries
+    -> (B, Q) row indices into each sample's own table, via ONE flat sort
+    over B*(N+Q) rows. Exactness argument is the same cummax join: keys are
+    unique per (batch, voxel) — batch bits prevent cross-sample matches —
+    and table aux positions ascend with key globally (engine invariant
+    within a sample; batch-major keys across samples).
+    """
+    b, n = coords.shape[:2]
+    q = queries.shape[1]
+    origin = batch_origin(coords, mask)
+    kt = pack_key32_b(coords, mask, origin)
+    kq = pack_key32_b(queries, qmask, origin)
+    int_min = jnp.iinfo(jnp.int32).min
+    key = jnp.concatenate([kt.reshape(-1), kq.reshape(-1)])
+    aux = jnp.arange(b * (n + q), dtype=jnp.int32)
+    skey, saux = jax.lax.sort((key, aux), num_keys=1, is_stable=True)
+    is_table = saux < b * n
+    # exclude sentinel table rows from the join (invalid queries could
+    # otherwise "match" an invalid padding row of the same sample)
+    t_ok = is_table & ~_coord_sentinel_mask(skey, b)
+    lkey = jax.lax.cummax(jnp.where(t_ok, skey, int_min))
+    lrow = jax.lax.cummax(jnp.where(t_ok, saux, -1))
+    ok = (~is_table) & (lrow >= 0) & (lkey == skey) & \
+        ~_coord_sentinel_mask(skey, b)
+    res = jnp.where(ok, lrow % n, -1)  # row within the sample's table
+    unsort_key = jnp.where(is_table, b * (n + q), saux - b * n)
+    _, res_sorted = jax.lax.sort((unsort_key, res), num_keys=1)
+    return res_sorted[:b * q].reshape(b, q)
+
+
+def lookup_merge_multi_b(pairs) -> list:
+    """Batched :func:`lookup_merge_multi`: K independent batched lookups in
+    exactly two flat sorts (one stable join sort + one un-permute sort).
+
+    Args:
+        pairs: list of (coords (B, Ni, 3), mask, queries (B, Qi, 3), qmask).
+
+    Returns:
+        list of (B, Qi) int32 row indices (into each sample's table) or -1.
+    """
+    int_min = jnp.iinfo(jnp.int32).min
+    b = pairs[0][0].shape[0]
+    keys, tstarts, qstarts, tns, origins = [], [], [], [], []
+    pos = 0
+    for coords, mask, _, _ in pairs:
+        origin = batch_origin(coords, mask)
+        origins.append(origin)
+        keys.append(pack_key32_b(coords, mask, origin).reshape(-1))
+        tstarts.append(pos)
+        tns.append(coords.shape[1])
+        pos += coords.shape[0] * coords.shape[1]
+    n_tables = pos
+    for i, (coords, mask, queries, qmask) in enumerate(pairs):
+        keys.append(pack_key32_b(queries, qmask, origins[i]).reshape(-1))
+        qstarts.append(pos)
+        pos += queries.shape[0] * queries.shape[1]
+    key = jnp.concatenate(keys)
+    aux = jnp.arange(pos, dtype=jnp.int32)
+    skey, saux = jax.lax.sort((key, aux), num_keys=1, is_stable=True)
+    is_table = saux < n_tables
+    not_sent = ~_coord_sentinel_mask(skey, b)
+    bounds = tstarts[1:] + [n_tables]
+    res = jnp.full((pos,), -1, jnp.int32)
+    for i in range(len(pairs)):
+        sel = is_table & (saux >= tstarts[i]) & (saux < bounds[i]) & not_sent
+        lkey_i = jax.lax.cummax(jnp.where(sel, skey, int_min))
+        lrow_i = jax.lax.cummax(jnp.where(sel, saux, -1))
+        ok = (lrow_i >= 0) & (lkey_i == skey) & not_sent
+        q_hi = pos if i == len(pairs) - 1 else qstarts[i + 1]
+        mine = (~is_table) & (saux >= qstarts[i]) & (saux < q_hi)
+        res = jnp.where(mine & ok, (lrow_i - tstarts[i]) % tns[i], res)
+    _, res_sorted = jax.lax.sort((saux, res), num_keys=1)
+    out = []
+    for i, (_, _, queries, _) in enumerate(pairs):
+        bq = queries.shape[0] * queries.shape[1]
+        out.append(res_sorted[qstarts[i]:qstarts[i] + bq].reshape(
+            queries.shape[0], queries.shape[1]))
+    return out
+
+
 class UniqueResult(NamedTuple):
     """Deduplicated coordinates with static capacity.
 
@@ -289,3 +442,65 @@ def unique_coords(coords: jax.Array, mask: jax.Array,
     inv_sorted = jnp.where((uslot < capacity) & (skey != int_max), uslot, -1)
     _, inverse = jax.lax.sort((perm, inv_sorted), num_keys=1)
     return UniqueResult(out_coords, out_mask, inverse, count, rows)
+
+
+def unique_coords_b(coords: jax.Array, mask: jax.Array,
+                    capacity: int) -> UniqueResult:
+    """Batched :func:`unique_coords`: (B, N, 3) -> per-sample tables of
+    ``capacity`` rows each, in THREE flat sorts over B*N rows total
+    (the per-sample version costs 3 sorts per sample).
+
+    Sentinel keys carry their sample's batch bits, so after the key sort
+    every sample occupies a static N-row segment: the per-sample slot
+    numbering is a reshaped cumsum, and the compaction sort's output
+    segments are sliced, not searched. Semantics (first-occurrence
+    representative, capacity overflow drops largest keys) match the
+    per-sample op bit-for-bit; only the in-range extent differs (see
+    :func:`key_layout`).
+
+    Returns a batched UniqueResult: coords (B, cap, 3), mask (B, cap),
+    inverse (B, N), count (B,), rows (B, cap) (rows index into the sample's
+    own flattened N rows).
+    """
+    b, n = coords.shape[:2]
+    key = pack_key32_b(coords, mask)  # (B, N), batch-local sentinels
+    flat_key = key.reshape(-1)
+    idx = jnp.arange(b * n, dtype=jnp.int32)
+    # idx as a second sort KEY: first-occurrence tie-break (flat position
+    # preserves within-sample order, and ties never cross samples)
+    skey, perm = jax.lax.sort((flat_key, idx), num_keys=2)
+    sk2 = skey.reshape(b, n)
+    is_new = jnp.concatenate(
+        [jnp.ones((b, 1), bool), sk2[:, 1:] != sk2[:, :-1]], axis=1)
+    is_new = is_new & ~_coord_sentinel_mask(sk2, b)
+    uslot = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1  # per-sample
+    count = jnp.sum(is_new.astype(jnp.int32), axis=1)
+
+    # compaction: per-sample slot -> representative's original row, via ONE
+    # flat sort whose key packs (batch, slot): every sample gets exactly
+    # n + 1 slots of key space (slot `n` collects its non-representative
+    # rows), so each sample's survivors land in a STATIC n-row segment.
+    in_cap = is_new & (uslot < capacity)
+    ckey = jnp.where(in_cap, uslot, n)
+    ckey = ckey + (jnp.arange(b, dtype=jnp.int32) * (n + 1))[:, None]
+    _, comp = jax.lax.sort((ckey.reshape(-1), perm), num_keys=1)
+    comp = comp.reshape(b, n)
+    if capacity <= n:
+        rows = comp[:, :capacity]
+    else:
+        rows = jnp.concatenate(
+            [comp, jnp.zeros((b, capacity - n), jnp.int32)], axis=1)
+    out_mask = jnp.arange(capacity, dtype=jnp.int32)[None] < count[:, None]
+    rows = jnp.where(out_mask, rows - jnp.arange(
+        b, dtype=jnp.int32)[:, None] * n, 0)  # flat row -> within-sample row
+    out_coords = jnp.where(
+        out_mask[..., None],
+        jnp.take_along_axis(coords, rows[..., None].astype(jnp.int32),
+                            axis=1), 0)
+
+    # inverse map: un-permute with one flat sort (perm is a permutation)
+    valid_new = (uslot < capacity) & ~_coord_sentinel_mask(sk2, b)
+    inv_sorted = jnp.where(valid_new, uslot, -1)
+    _, inverse = jax.lax.sort((perm, inv_sorted.reshape(-1)), num_keys=1)
+    return UniqueResult(out_coords, out_mask, inverse.reshape(b, n), count,
+                        rows)

@@ -50,19 +50,20 @@ def set_conv_compute_dtype(dtype) -> None:
     CONV_COMPUTE_DTYPE = dtype
 
 
-# 'unroll' (default) emits one flat per-sample pipeline per batch element;
-# 'scan' emits ONE traced copy rolled into a lax.map loop (same flat
-# per-sample sorts — the TPU chip is one core so sequential-by-construction
-# costs nothing — but the HLO stays batch-size-independent, which keeps
-# XLA compile memory/time flat as b grows); 'vmap' emits a single batched
-# program (sorts carry a batch dim: ~12x slower on TPU, fastest to compile;
-# used by the virtual-device dryrun/CI where compile time dominates).
-BMAP_MODE = os.environ.get('EMBODIEDSCAN_BMAP', 'unroll')
+# 'flat' (default) packs the batch id into the coordinate sort key and runs
+# every sort-carrying op as ONE flat sort over B*N rows (hashing.py batched
+# primitives): batch-size-independent HLO, no serialization, near-linear b
+# scaling. 'unroll' emits one flat per-sample pipeline per batch element
+# (the pre-flat default; B copies of the HLO); 'scan' emits ONE traced copy
+# rolled into a lax.map loop (batch-independent HLO but the per-sample
+# pipelines serialize); 'vmap' emits a single batched program (sorts carry
+# a batch dim: ~12x slower on TPU, fastest to compile).
+BMAP_MODE = os.environ.get('EMBODIEDSCAN_BMAP', 'flat')
 
 
 def set_bmap_mode(mode: str) -> None:
-    """Set the bmap strategy ('unroll'/'scan'/'vmap') BEFORE tracing/jit."""
-    assert mode in ('unroll', 'scan', 'vmap'), mode
+    """Set the bmap strategy ('flat'/'unroll'/'scan'/'vmap') BEFORE jit."""
+    assert mode in ('flat', 'unroll', 'scan', 'vmap'), mode
     global BMAP_MODE
     BMAP_MODE = mode
 
@@ -78,7 +79,10 @@ def bmap(fn, in_axes):
     alternatives.
     """
     def wrapped(*args):
-        if BMAP_MODE == 'vmap':
+        if BMAP_MODE == 'vmap' or BMAP_MODE == 'flat':
+            # under 'flat', generic (sort-free) per-sample fns vmap cleanly;
+            # the sort-carrying ops dispatch to hashing.py *_b primitives at
+            # their call sites instead of coming through bmap
             return jax.vmap(fn, in_axes=in_axes)(*args)
         b = next(
             jax.tree_util.tree_leaves(a)[0].shape[0]
@@ -138,6 +142,99 @@ def from_points(points_xyz: jax.Array, feats: jax.Array, mask: jax.Array,
     # representative = first occurrence (uniq.rows, no scatter needed)
     out_feats = jnp.where(uniq.mask[:, None], feats[uniq.rows], 0)
     return SparseTensor(uniq.coords, out_feats, uniq.mask)
+
+
+def from_points_b(points_xyz: jax.Array, feats: jax.Array, mask: jax.Array,
+                  voxel_size: float, capacity: int) -> SparseTensor:
+    """Batched :func:`from_points`: (B, N, ...) in, batched SparseTensor out.
+
+    One flat dedup over B*N rows (batch id in the sort key) instead of B
+    sequential per-sample pipelines — see hashing.unique_coords_b.
+    """
+    from .hashing import unique_coords_b
+    coords = jnp.floor(points_xyz / voxel_size).astype(jnp.int32)
+    uniq = unique_coords_b(coords, mask, capacity)
+    gathered = jnp.take_along_axis(feats, uniq.rows[..., None], axis=1)
+    out_feats = jnp.where(uniq.mask[..., None], gathered, 0)
+    return SparseTensor(uniq.coords, out_feats, uniq.mask)
+
+
+def neighbor_table_b(st: SparseTensor, offsets: np.ndarray) -> jax.Array:
+    """Batched :func:`neighbor_table`: (B, N, K) via one flat join sort."""
+    from .hashing import lookup_merge_b
+    b, n = st.coords.shape[:2]
+    k = offsets.shape[0]
+    queries = (st.coords[:, :, None, :] +
+               jnp.asarray(offsets)[None, None]).reshape(b, n * k, 3)
+    qmask = jnp.repeat(st.mask, k, axis=1)
+    return lookup_merge_b(st.coords, st.mask, queries,
+                          qmask).reshape(b, n, k)
+
+
+def downsample_coords_b(st: SparseTensor, capacity: int) -> 'DownsampleMap':
+    """Batched :func:`downsample_coords` (one flat dedup)."""
+    from .hashing import unique_coords_b
+    coarse = jnp.floor_divide(st.coords, 2)
+    uniq = unique_coords_b(coarse, st.mask, capacity)
+    return DownsampleMap(uniq.coords, uniq.mask, uniq.inverse)
+
+
+def _monotone_desc_key(scores: jax.Array) -> jax.Array:
+    """float32 scores -> uint32 keys whose ASCENDING order is score-descending.
+
+    Standard sign-flip trick: for non-negative floats the IEEE bit pattern
+    is order-preserving; negatives order reversed. Map to ascending uint
+    then bit-invert for descending.
+    """
+    u = jax.lax.bitcast_convert_type(scores.astype(jnp.float32), jnp.uint32)
+    asc = jnp.where(u >> 31 == 0, u | jnp.uint32(0x80000000), ~u)
+    return ~asc
+
+
+def topk_select_b(st: SparseTensor, scores: jax.Array,
+                  k: int) -> SparseTensor:
+    """Batched :func:`topk_select`: per-sample top-k in two flat sorts.
+
+    The score sort key packs the batch id in the high bits and the
+    (monotone-mapped, low-bits-truncated) score below — each sample's rows
+    form a static N-row segment, so "top k per sample" is a reshape+slice.
+    Truncating ceil(log2(B)) low score bits only coarsens tie-breaking among
+    near-equal prune scores (B=1 is exact). The coordinate re-sort restoring
+    the engine invariant runs as one flat B*k sort.
+    """
+    from .hashing import key_layout, pack_key32_b
+    b, n = scores.shape
+    bb = max(0, int(b - 1).bit_length())
+    neg = jnp.finfo(scores.dtype).min
+    masked = jnp.where(st.mask, scores, neg)
+    skey = _monotone_desc_key(masked) >> bb
+    skey = skey | (jnp.arange(b, dtype=jnp.uint32)[:, None] << (32 - bb)) \
+        if bb else skey
+    skey = (skey ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+    idx = jnp.arange(b * n, dtype=jnp.int32)
+    _, sidx = jax.lax.sort((skey.reshape(-1), idx), num_keys=2)
+    sel = sidx.reshape(b, n)[:, :k] - (
+        jnp.arange(b, dtype=jnp.int32) * n)[:, None]  # within-sample rows
+    sel_coords = jnp.take_along_axis(st.coords, sel[..., None], axis=1)
+    keep_mask = jnp.take_along_axis(st.mask, sel, axis=1)
+    # restore the key-sorted engine invariant (selection is score-ordered)
+    ck = pack_key32_b(sel_coords, keep_mask)
+    pos = jnp.arange(b * k, dtype=jnp.int32)
+    _, perm = jax.lax.sort((ck.reshape(-1), pos), num_keys=2)
+    perm = perm.reshape(b, k) - (jnp.arange(b, dtype=jnp.int32) * k)[:, None]
+    sel = jnp.take_along_axis(sel, perm, axis=1)
+    keep_mask = jnp.take_along_axis(st.mask, sel, axis=1)
+    coords = jnp.take_along_axis(st.coords, sel[..., None], axis=1)
+    feats = jnp.take_along_axis(st.feats, sel[..., None], axis=1)
+    return SparseTensor(coords, jnp.where(keep_mask[..., None], feats, 0),
+                        keep_mask)
+
+
+def btopk_select(st: SparseTensor, scores: jax.Array, k: int) -> SparseTensor:
+    """Batched top-k dispatcher: flat-key path or per-sample bmap."""
+    if BMAP_MODE == 'flat':
+        return topk_select_b(st, scores, k)
+    return bmap(topk_select, (0, 0, None))(st, scores, k)
 
 
 def neighbor_table(st: SparseTensor, offsets: np.ndarray) -> jax.Array:
