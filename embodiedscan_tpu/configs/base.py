@@ -70,10 +70,15 @@ class DataConfig:
     tokenizer_path: str = ''
     # host data pipeline backend: 'auto' uses the threaded C++ core
     # (embodiedscan_tpu/native) when it builds/loads on this host, 'numpy'
-    # forces the pure-python path. The TPU replacement for the reference's
-    # mmengine DataLoader num_workers pool. Synthetic fixtures always use
-    # numpy so test batches are bit-stable across hosts.
+    # forces the pure-python path. Synthetic fixtures always use numpy so
+    # test batches are bit-stable across hosts.
     native_pipeline: str = 'auto'
+    # host/device overlap (reference num_workers=4, persistent_workers=True,
+    # mv-det3d...py:182-183): num_workers threads build the samples of one
+    # batch concurrently; prefetch_depth batches are staged ahead of the
+    # device step by a producer thread (0 disables prefetch).
+    num_workers: int = 4
+    prefetch_depth: int = 2
 
 
 @dataclasses.dataclass

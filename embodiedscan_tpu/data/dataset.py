@@ -313,14 +313,28 @@ class EmbodiedScanLoader:
             for start in range(0, len(idx) - self.batch_size + 1,
                                self.batch_size):
                 chunk = idx[start:start + self.batch_size]
-                samples = [
-                    self._build_sample(self.infos[i],
-                                       int(rng.randint(1 << 30)))
-                    for i in chunk
-                ]
+                # seeds drawn sequentially BEFORE dispatch: determinism is
+                # independent of worker scheduling
+                seeds = [int(rng.randint(1 << 30)) for _ in chunk]
+                samples = self._map_workers(
+                    lambda a: self._build_sample(self.infos[a[0]], a[1]),
+                    list(zip(chunk, seeds)))
                 yield collate(samples)
             if not self.train:
                 return
+
+    def _map_workers(self, fn, items: list) -> list:
+        """Build a batch's samples on cfg.data.num_workers threads (PIL,
+        numpy, and the native core release the GIL; the reference uses 4
+        DataLoader workers per GPU — mv-det3d...py:182)."""
+        workers = min(self.cfg.data.num_workers, len(items))
+        if workers <= 1 or len(items) <= 1:
+            return [fn(it) for it in items]
+        from concurrent.futures import ThreadPoolExecutor
+        if getattr(self, '_pool', None) is None or \
+                self._pool._max_workers != workers:
+            self._pool = ThreadPoolExecutor(max_workers=workers)
+        return list(self._pool.map(fn, items))
 
 
 VIEW_DEP_WORDS = ('front', 'behind', 'back', 'left', 'right', 'facing',
@@ -444,11 +458,12 @@ class GroundingLoader(EmbodiedScanLoader):
             idx = self._shard(np.asarray(idx))
             for start in range(0, len(idx) - self.batch_size + 1,
                                self.batch_size):
-                samples = [
-                    self._build_vg_sample(self.records[i],
-                                          int(rng.randint(1 << 30)))
-                    for i in idx[start:start + self.batch_size]
-                ]
+                chunk = idx[start:start + self.batch_size]
+                seeds = [int(rng.randint(1 << 30)) for _ in chunk]
+                samples = self._map_workers(
+                    lambda a: self._build_vg_sample(self.records[a[0]],
+                                                    a[1]),
+                    list(zip(chunk, seeds)))
                 yield pl.collate(samples)
             if not self.train:
                 return

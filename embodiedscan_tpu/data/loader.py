@@ -1,17 +1,65 @@
 """Batch loaders: synthetic fixture or on-disk EmbodiedScan data.
 
 The loader is a plain-python iterable producing collated numpy batches with
-static shapes; device transfer/sharding happens in the train loop. A
-prefetching thread pool can be layered on later — the pipeline is pure numpy
-and pickles cleanly.
+static shapes; device transfer/sharding happens in the train loop.
+:class:`Prefetcher` overlaps the host pipeline with the device step — the
+TPU-native analog of the reference's ``num_workers=4, persistent_workers=
+True`` DataLoader (configs/detection/mv-det3d...py:182-183): a producer
+thread runs the loader ahead into a bounded queue (JPEG decode, resize,
+back-projection, packing all release the GIL in PIL/numpy/the native core),
+so loader latency hides under the device step instead of adding to it.
 """
 
+import queue
+import threading
 from typing import Dict, Iterator, List
 
 import numpy as np
 
 from ..configs.base import Config
 from . import pipeline as pl
+
+
+class Prefetcher:
+    """Background-thread prefetch over any batch iterable.
+
+    ``depth`` bounds the queue (memory = depth x batch bytes). Attribute
+    access proxies to the inner loader (steps_per_epoch, label2cat, ...).
+    Exceptions in the producer re-raise in the consumer; a finished inner
+    iterator ends this iterator (eval single-pass semantics preserved).
+    """
+
+    _DONE = object()
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __getattr__(self, name):
+        return getattr(self.loader, name)
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        err: list = []
+
+        def produce():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            except BaseException as e:  # re-raised on the consumer side
+                err.append(e)
+            finally:
+                q.put(self._DONE)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is self._DONE:
+                if err:
+                    raise err[0]
+                return
+            yield item
 
 
 class SyntheticLoader:
@@ -117,9 +165,13 @@ class SyntheticLoader:
 
 def build_loader(cfg: Config, train: bool):
     if cfg.data.synthetic:
-        return SyntheticLoader(cfg, train)
+        return SyntheticLoader(cfg, train)  # in-memory, nothing to overlap
     if cfg.model.task == 'mv_grounding' and cfg.data.vg_file:
         from .dataset import GroundingLoader
-        return GroundingLoader(cfg, train)
-    from .dataset import EmbodiedScanLoader
-    return EmbodiedScanLoader(cfg, train)
+        loader = GroundingLoader(cfg, train)
+    else:
+        from .dataset import EmbodiedScanLoader
+        loader = EmbodiedScanLoader(cfg, train)
+    if cfg.data.prefetch_depth > 0:
+        return Prefetcher(loader, depth=cfg.data.prefetch_depth)
+    return loader
