@@ -481,17 +481,26 @@ def load_reference_detector(variables, torch_state_dict, mink_depth=34,
     ResNet), ``backbone_3d`` (MinkResNet) and ``bbox_head``. Returns
     (variables, n_loaded, skipped_paths).
     """
-    var, n1, s1 = load_resnet_into_variables(
-        variables,
-        {k[len('backbone.'):]: v for k, v in torch_state_dict.items()
-         if k.startswith('backbone.')},
-        depth=resnet_depth, prefix=('trunk', 'ResNet_0'))
-    var, n2, s2 = load_mink_resnet_into_variables(
-        var, torch_state_dict, depth=mink_depth,
-        prefix=('trunk', 'MinkResNet_0'), src_prefix='backbone_3d.',
-        flip=flip)
-    hp, hs = convert_fcaf_head(torch_state_dict, flip=flip)
-    var, n3, s3 = _merge_into(var, hp, hs, ('bbox_head',))
+    var = variables
+    # each group is optional so partial checkpoints (head-only dumps,
+    # backbone warm starts) load whatever they contain — same contract as
+    # load_reference_grounder
+    n1 = n2 = n3 = 0
+    s1, s2, s3 = [], [], []
+    if 'backbone.conv1.weight' in torch_state_dict:
+        var, n1, s1 = load_resnet_into_variables(
+            var,
+            {k[len('backbone.'):]: v for k, v in torch_state_dict.items()
+             if k.startswith('backbone.')},
+            depth=resnet_depth, prefix=('trunk', 'ResNet_0'))
+    if any(k.startswith('backbone_3d.') for k in torch_state_dict):
+        var, n2, s2 = load_mink_resnet_into_variables(
+            var, torch_state_dict, depth=mink_depth,
+            prefix=('trunk', 'MinkResNet_0'), src_prefix='backbone_3d.',
+            flip=flip)
+    if any(k.startswith('bbox_head.') for k in torch_state_dict):
+        hp, hs = convert_fcaf_head(torch_state_dict, flip=flip)
+        var, n3, s3 = _merge_into(var, hp, hs, ('bbox_head',))
     return var, n1 + n2 + n3, s1 + s2 + s3
 
 
