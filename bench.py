@@ -68,6 +68,13 @@ def make_batch(b, p, v, hw, g, num_classes, seed=0):
 
 def run(scale: str):
     import jax
+    # persistent compile cache: repeat bench/experiment runs skip the
+    # minutes-long remote-tunnel compile of unchanged configurations
+    jax.config.update(
+        'jax_compilation_cache_dir',
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 10.0)
     from embodiedscan_tpu.models.detector import SparseFusionDetector
     from embodiedscan_tpu.train.state import (create_train_state,
                                               make_optimizer, make_train_step,
@@ -79,10 +86,6 @@ def run(scale: str):
                      backbone_capacities=(65536, 32768, 24576, 8192, 4096,
                                           2048),
                      fpn_capacities=(24576, 8192, 4096, 2048)),
-        # b>1 full scale compiles via the rolled scan bmap mode (set below)
-        # but measures SLOWER per scene than b=1 (2.13 vs 3.14 scenes/s):
-        # the per-sample sort pipelines serialize under lax.scan. b=1 is the
-        # shipping config; BENCH_B=2 reproduces the measurement.
         'small': dict(b=1, p=20_000, v=8, hw=256, g=64, classes=284,
                       input_capacity=32768,
                       backbone_capacities=(16384, 8192, 8192, 4096, 2048,
@@ -95,12 +98,9 @@ def run(scale: str):
     if 'BENCH_BMAP' in os.environ:
         from embodiedscan_tpu.ops import sparse as _SS
         _SS.set_bmap_mode(os.environ['BENCH_BMAP'])
-    elif cfg['b'] > 1:
-        # b>1: one rolled traced copy of the per-sample sort pipelines
-        # (HLO size stays flat in b; unrolling b copies of the full-scale
-        # coordinate engine exhausts XLA compile memory on this host)
-        from embodiedscan_tpu.ops import sparse as _SS
-        _SS.set_bmap_mode('scan')
+    # default mode is 'flat' (ops.sparse.BMAP_MODE): batch id in the sort
+    # key, one flat sort over B*N rows — batch-size-independent HLO, so
+    # b>1 neither recompiles per sample nor serializes (PERF.md r3)
     remat = {'0': False, '1': True}.get(os.environ.get('BENCH_REMAT', '0'),
                                         os.environ.get('BENCH_REMAT'))
     import jax.numpy as _jnp
@@ -160,12 +160,17 @@ def run(scale: str):
     # fetches (BENCH_SYNC_EVERY=1) add the ~25 ms RPC round trip to every
     # iteration and measure dispatch latency, not throughput.
     sync_every = int(os.environ.get('BENCH_SYNC_EVERY', str(n_iter)))
+    trace_dir = os.environ.get('BENCH_TRACE')  # xprof trace of the window
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
     t0 = time.time()
     for i in range(n_iter):
         state, metrics = step(state, batch)
         if (i + 1) % sync_every == 0 or i == n_iter - 1:
             loss = float(metrics['loss_total'])
     dt = (time.time() - t0) / n_iter
+    if trace_dir:
+        jax.profiler.stop_trace()
     # MFU vs the v5e bf16 peak (197 TFLOP/s). The image branch runs bf16,
     # the sparse branch f32; XLA's flops estimate is dtype-agnostic, so
     # this is a *lower bound* on utilization vs the mixed-precision peak.

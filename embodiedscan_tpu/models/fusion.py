@@ -96,3 +96,90 @@ def point_image_sample(points: jax.Array, point_mask: jax.Array,
     total = jnp.sum(sampled, axis=0)  # (N, C)
     out = total / jnp.clip(cnt, min=1)[:, None]
     return jnp.where((cnt > 0)[:, None] & point_mask[:, None], out, 0)
+
+
+@f32_matmuls
+def point_image_sample_batched(points: jax.Array, point_mask: jax.Array,
+                               img_feats: jax.Array, proj: jax.Array,
+                               aug_inv: jax.Array, pad_hw: tuple,
+                               mode: str = 'nearest',
+                               view_mask: jax.Array | None = None
+                               ) -> jax.Array:
+    """Whole-batch fusion: same math as :func:`point_image_sample`, ONE
+    flat feature gather for all (scan, sweep, view, point) tuples.
+
+    The per-sample variant under ``jax.vmap`` autodiffs its image-feature
+    gather into a batched scatter-add — measured 180 ms/step at full scale
+    on v5e, HALF the train step (r3 trace). Here the gather is a single
+    flat :func:`ops.segment.gather_rows` whose custom VJP is a sort-based
+    segment sum (~25 ms), and everything else is batched elementwise math.
+
+    Args:
+        points: (BI, S, N, 3) world points (S sweeps share a scan's views).
+        point_mask: (BI, S, N).
+        img_feats: (BI, V, Hf, Wf, C).
+        proj: (BI, V, 4, 4); aug_inv: (BI, 4, 4); view_mask: (BI, S, V).
+        pad_hw: static network input (H_pad, W_pad).
+
+    Returns:
+        (BI, S, N, C) valid-view means.
+    """
+    from ..geometry.projection import _pad_to_4x4
+    from ..ops.segment import gather_rows
+    bi, v, hf, wf, c = img_feats.shape
+    s, n = points.shape[1:3]
+    h_pad, w_pad = pad_hw
+    proj = _pad_to_4x4(proj)
+    ones = jnp.ones_like(points[..., :1])
+    pts = jnp.einsum('bsni,bji->bsnj',
+                     jnp.concatenate([points, ones], -1), aug_inv)
+    pts = jnp.concatenate([pts[..., :3], ones], -1)
+    # project into every view: (BI, S, V, N, 3) u, v, depth
+    uvw = jnp.einsum('bsnj,bvkj->bsvnk', pts, proj)
+    depth = uvw[..., 2]
+    uv = uvw[..., :2] / jnp.clip(depth[..., None], min=1e-3)
+    coor_x, coor_y = uv[..., 0], uv[..., 1]
+
+    valid = (coor_x > 0) & (coor_x < w_pad) & (coor_y > 0) & \
+        (coor_y < h_pad) & (depth > 0) & point_mask[:, :, None, :]
+    if view_mask is not None:
+        valid = valid & view_mask[:, :, :, None]
+
+    xf = coor_x / w_pad * (wf - 1)
+    yf = coor_y / h_pad * (hf - 1)
+
+    flat = img_feats.reshape(bi * v * hf * wf, c)
+    # global row base per (scan, view), broadcast over sweeps/points
+    vbase = (jnp.arange(bi * v, dtype=jnp.int32) *
+             (hf * wf)).reshape(bi, 1, v, 1)
+
+    def gather(yi, xi):
+        yi = jnp.clip(yi, 0, hf - 1)
+        xi = jnp.clip(xi, 0, wf - 1)
+        idx = vbase + yi * wf + xi  # (BI, S, V, N)
+        return gather_rows(flat, idx.reshape(-1)).reshape(bi, s, v, n, c)
+
+    if mode == 'nearest':
+        sampled = gather(jnp.round(yf).astype(jnp.int32),
+                         jnp.round(xf).astype(jnp.int32))
+    else:  # bilinear with zero padding outside
+        x0 = jnp.floor(xf).astype(jnp.int32)
+        y0 = jnp.floor(yf).astype(jnp.int32)
+        tx = (xf - x0)[..., None]
+        ty = (yf - y0)[..., None]
+
+        def inb(yi, xi):
+            return ((yi >= 0) & (yi < hf) & (xi >= 0) &
+                    (xi < wf)).astype(img_feats.dtype)[..., None]
+
+        sampled = (
+            gather(y0, x0) * inb(y0, x0) * (1 - tx) * (1 - ty) +
+            gather(y0, x0 + 1) * inb(y0, x0 + 1) * tx * (1 - ty) +
+            gather(y0 + 1, x0) * inb(y0 + 1, x0) * (1 - tx) * ty +
+            gather(y0 + 1, x0 + 1) * inb(y0 + 1, x0 + 1) * tx * ty)
+
+    sampled = jnp.where(valid[..., None], sampled, 0)
+    cnt = jnp.sum(valid, axis=2)  # (BI, S, N)
+    total = jnp.sum(sampled, axis=2)  # (BI, S, N, C)
+    out = total / jnp.clip(cnt, min=1)[..., None]
+    return jnp.where((cnt > 0)[..., None] & point_mask[..., None], out, 0)

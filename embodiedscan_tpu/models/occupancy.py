@@ -24,7 +24,7 @@ import numpy as np
 
 from ..ops import sparse as S
 from .fpn import FPN
-from .fusion import point_image_sample
+from .fusion import point_image_sample_batched
 from .resnet2d import ResNet
 from .sparse_nn import MinkResNet
 
@@ -283,19 +283,16 @@ class DenseFusionOccPredictor(nn.Module):
         f = f.reshape(bi, v, hf, wf, c2)
 
         prior = self._prior_points()  # (Nx*Ny*Nz, 3)
-        pmask = jnp.ones((prior.shape[0],), bool)
         view_mask = batch.get('view_mask')
         if view_mask is None:
             view_mask = jnp.ones((b, v), bool)
-        inner = jax.vmap(point_image_sample,
-                         in_axes=(None, None, None, None, None, None, None,
-                                  0))
-        img_volume = jax.vmap(
-            lambda f_, p_, a_, vm_: inner(prior, pmask, f_, p_, a_, (h, w),
-                                          'nearest', vm_))(
-                                              f, batch['proj'],
-                                              batch['aug_inv'],
-                                              view_mask.reshape(bi, s, v))
+        # whole-batch fusion (one flat gather; scatter-free backward —
+        # see models/fusion.py point_image_sample_batched)
+        np_ = prior.shape[0]
+        img_volume = point_image_sample_batched(
+            jnp.broadcast_to(prior[None, None], (bi, s, np_, 3)),
+            jnp.ones((bi, s, np_), bool), f, batch['proj'],
+            batch['aug_inv'], (h, w), 'nearest', view_mask.reshape(bi, s, v))
         nx, ny, nz = self.n_voxels
         img_volume = img_volume.reshape(b, nx, ny, nz, c2)
 

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import sparse as S
-from .fusion import point_image_sample
+from .fusion import point_image_sample_batched
 from .resnet2d import ResNet
 from .sparse_nn import MinkResNet
 
@@ -94,14 +94,14 @@ class SparseFusionTrunk(nn.Module):
             world = lvl.coords.astype(jnp.float32) * (STRIDES[i] *
                                                       self.voxel_size)
             n = world.shape[1]
-            inner = jax.vmap(point_image_sample,
-                             in_axes=(0, 0, None, None, None, None, None, 0))
-            img_feat = jax.vmap(
-                lambda w_, m_, f_, p_, a_, vm_: inner(
-                    w_, m_, f_, p_, a_, (h, w), 'nearest', vm_))(
-                        world.reshape(bi, s, n, 3),
-                        lvl.mask.reshape(bi, s, n), f2d, batch['proj'],
-                        batch['aug_inv'], view_mask.reshape(bi, s, v))
+            # whole-batch fusion: one flat image-feature gather with a
+            # sort-based (scatter-free) backward — the vmapped per-sample
+            # variant's scatter-add backward was HALF the train step
+            # (PERF.md r3 trace)
+            img_feat = point_image_sample_batched(
+                world.reshape(bi, s, n, 3), lvl.mask.reshape(bi, s, n),
+                f2d, batch['proj'], batch['aug_inv'], (h, w), 'nearest',
+                view_mask.reshape(bi, s, v))
             img_feat = img_feat.reshape(b, n, -1)
             fused.append(
                 S.SparseTensor(
