@@ -129,6 +129,11 @@ class Config:
     work_dir: str = 'work_dirs/default'
     seed: int = 0
     log_interval: int = 50
+    # scalar-curve backends (reference vis_backends, default_runtime.py:4-6
+    # + the commented TensorboardVisBackend example in mv-grounding...py:
+    # 218-224): 'jsonl' appends work_dir/scalars.jsonl; add 'tensorboard'
+    # (log_backends=jsonl,tensorboard) for TB event files in work_dir/tb
+    log_backends: Sequence[str] = ('jsonl', )
     resume: str = ''  # '', 'auto', or a checkpoint step
     n_devices: int = 0  # 0 = all
     profile_dir: str = ''  # if set, capture a jax.profiler trace of steps 5-10

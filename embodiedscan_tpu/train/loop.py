@@ -118,6 +118,10 @@ def train(cfg: Config, max_steps: int | None = None):
     total_steps = steps_per_epoch * cfg.schedule.max_epochs
     if max_steps is not None:
         total_steps = min(total_steps, start_step + max_steps)
+    # scalar-curve backends (rank-0 only, like mmengine's vis backends)
+    from .metrics_writer import MetricsWriter
+    writer = MetricsWriter(cfg.work_dir, tuple(cfg.log_backends)) \
+        if is_main_process() else None
     t0 = time.time()
     window = []
     step = start_step
@@ -148,6 +152,8 @@ def train(cfg: Config, max_steps: int | None = None):
                 dt = (time.time() - t0) / len(window)
                 log.info('step %d/%d %.2fs/it %s', step, total_steps, dt,
                          ' '.join(f'{k}={v:.4f}' for k, v in vals.items()))
+                if writer is not None:
+                    writer.write(step, {**vals, 'sec_per_iter': dt}, 'train')
                 window = []
                 t0 = time.time()
             if step % steps_per_epoch == 0:
@@ -159,6 +165,8 @@ def train(cfg: Config, max_steps: int | None = None):
                              step // steps_per_epoch)
     if step % steps_per_epoch != 0 and is_main_process():
         ckpt.save(step, jax.device_get(state))
+    if writer is not None:
+        writer.close()
     return state
 
 

@@ -252,3 +252,37 @@ class TestIoU:
         b2 = jnp.asarray([[1.0, 1, 1, 3, 3, 3]])
         got = np.asarray(IOU.axis_aligned_iou3d(b1, b2))
         np.testing.assert_allclose(got, [[1 / 15]], atol=1e-5)
+
+
+class TestNpBoxes:
+
+    def test_points_in_boxes_np_matches_device(self):
+        from embodiedscan_tpu.geometry import boxes as B
+        from embodiedscan_tpu.geometry.np_boxes import points_in_boxes_np
+        rng = np.random.RandomState(3)
+        pts = rng.uniform(-2, 2, (64, 3)).astype(np.float32)
+        boxes = np.concatenate([
+            rng.uniform(-1, 1, (5, 3)),
+            rng.uniform(0.5, 2.0, (5, 3)),
+            rng.uniform(-1, 1, (5, 3)),
+        ], -1).astype(np.float32)
+        got = points_in_boxes_np(pts, boxes)
+        want = np.asarray(B.points_in_boxes(jnp.asarray(pts),
+                                            jnp.asarray(boxes)))
+        np.testing.assert_array_equal(got, want)
+
+    def test_standup_and_bev_corners(self):
+        from embodiedscan_tpu.geometry.np_boxes import (boxes_to_standup_np,
+                                                        corners_bev_np)
+        # axis-aligned unit box at origin
+        box = np.array([[0, 0, 0, 2, 4, 6, 0, 0, 0]], np.float32)
+        standup = boxes_to_standup_np(box)
+        np.testing.assert_allclose(standup, [[-1, -2, -3, 1, 2, 3]],
+                                   atol=1e-6)
+        bev = corners_bev_np(box)
+        assert sorted(map(tuple, np.round(bev[0], 5))) == [
+            (-1.0, -2.0), (-1.0, 2.0), (1.0, -2.0), (1.0, 2.0)]
+        # 90deg yaw swaps footprint extents
+        box90 = np.array([[0, 0, 0, 2, 4, 6, np.pi / 2, 0, 0]], np.float32)
+        bev90 = corners_bev_np(box90)
+        np.testing.assert_allclose(np.abs(bev90[0]).max(0), [2, 1], atol=1e-5)

@@ -135,3 +135,44 @@ def test_occupancy_eval_class_names():
     pr = np.array([[[1]]])
     res = occupancy_eval([gt], [pr], num_classes=2, class_names=['wall'])
     assert res['wall'] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# indoor_eval_2d (Indoor2DMetric analog, det_metric.py:165-239)
+
+def test_iou_2d_hand_values():
+    from embodiedscan_tpu.eval.indoor_eval2d import iou_2d
+    p = np.array([[0, 0, 2, 2], [0, 0, 1, 1]], np.float32)
+    g = np.array([[1, 1, 3, 3]], np.float32)
+    got = iou_2d(p, g)
+    # [0,0,2,2] vs [1,1,3,3]: inter 1, union 4+4-1=7
+    np.testing.assert_allclose(got[:, 0], [1 / 7, 0.0], atol=1e-6)
+    assert iou_2d(np.zeros((0, 4)), g).shape == (0, 1)
+
+
+def test_indoor_eval_2d_perfect_and_miss():
+    from embodiedscan_tpu.eval.indoor_eval2d import indoor_eval_2d
+    gts = [dict(gt_bboxes=np.array([[0, 0, 2, 2], [5, 5, 6, 6]], np.float32),
+                gt_labels=np.array([0, 1]))]
+    # class 0 matched exactly, class 1 detection misses (IoU 0)
+    dts = [dict(bboxes=np.array([[0, 0, 2, 2], [8, 8, 9, 9]], np.float32),
+                scores=np.array([0.9, 0.8], np.float32),
+                labels=np.array([0, 1]))]
+    res = indoor_eval_2d(gts, dts, (0.5,), verbose=False)
+    assert res['0_AP_0.50'] == 1.0
+    assert res['1_AP_0.50'] == 0.0
+    np.testing.assert_allclose(res['mAP_0.50'], 0.5)
+
+
+def test_indoor_eval_2d_duplicate_is_fp():
+    from embodiedscan_tpu.eval.indoor_eval2d import indoor_eval_2d
+    gts = [dict(gt_bboxes=np.array([[0, 0, 2, 2]], np.float32),
+                gt_labels=np.array([0]))]
+    dts = [dict(bboxes=np.array([[0, 0, 2, 2], [0, 0, 2, 2]], np.float32),
+                scores=np.array([0.9, 0.8], np.float32),
+                labels=np.array([0, 0]))]
+    res = indoor_eval_2d(gts, dts, (0.5,), verbose=False)
+    # greedy matching: the second (lower-score) duplicate is a false
+    # positive but precision at the first detection is already 1.0 -> AP 1
+    assert res['0_AP_0.50'] == 1.0
+    assert res['0_rec_0.50'] == 1.0
