@@ -45,10 +45,22 @@ def euler_zxy_to_matrix(angles: jax.Array) -> jax.Array:
     """(..., 3) ZXY euler angles (alpha_z, beta_x, gamma_y) -> (..., 3, 3).
 
     R = Rz(alpha) @ Rx(beta) @ Ry(gamma), matching pytorch3d's
-    ``euler_angles_to_matrix(angles, 'ZXY')`` used throughout the reference.
+    ``euler_angles_to_matrix(angles, 'ZXY')`` used throughout the
+    reference. Expanded to the closed-form product (pure elementwise ops):
+    batched (..., 3, 3) matmul chains lower to tiny scalarized contractions
+    on TPU — this product traced 27 ms/step at full scale b=2 as matmuls.
     """
     a, b, g = angles[..., 0], angles[..., 1], angles[..., 2]
-    return _rz(a) @ _rx(b) @ _ry(g)
+    ca, sa = jnp.cos(a), jnp.sin(a)
+    cb, sb = jnp.cos(b), jnp.sin(b)
+    cg, sg = jnp.cos(g), jnp.sin(g)
+    return jnp.stack([
+        jnp.stack([ca * cg - sa * sb * sg, -sa * cb,
+                   ca * sg + sa * sb * cg], -1),
+        jnp.stack([sa * cg + ca * sb * sg, ca * cb,
+                   sa * sg - ca * sb * cg], -1),
+        jnp.stack([-cb * sg, sb, cb * cg], -1),
+    ], -2)
 
 
 def matrix_to_euler_zxy(mat: jax.Array) -> jax.Array:

@@ -274,13 +274,10 @@ class FCAF3DHead(nn.Module):
                 # prune by the coarser head's max-cls score, interpolated at
                 # this level's coords (fcaf3d_head.py:1091-1114)
 
-                def interp(pc, ps, pm_, qc, qm, idx):
-                    st = S.SparseTensor(pc, ps[:, None], pm_)
-                    return S.interpolate_trilinear(
-                        st, qc.astype(jnp.float32) / 2.0, qm, idx=idx)[:, 0]
-
-                score = jax.vmap(interp)(pcoords, pscores, pm, x.coords,
-                                         x.mask, interp_idx)
+                score = S.interpolate_trilinear_b(
+                    S.SparseTensor(pcoords, pscores[..., None], pm),
+                    x.coords.astype(jnp.float32) / 2.0, x.mask,
+                    interp_idx)[..., 0]
                 keep = min(self.pts_prune_threshold, self.fpn_capacities[i])
                 x = S.btopk_select(x, score, keep)
 

@@ -16,6 +16,11 @@ import jax.numpy as jnp
 from ..geometry.projection import batch_points_cam2img
 from ..utils.precision import f32_matmuls
 
+# single >2M-row gathers degrade ~3x on v5e (11 vs 2.5-4 ns/row, PERF.md);
+# flat fusion gathers are split into pieces of at most this many rows
+# (module-level so tests can shrink it to exercise the chunked path)
+GATHER_CHUNK_ROWS = 1 << 20
+
 
 @f32_matmuls
 def point_image_sample(points: jax.Array, point_mask: jax.Array,
@@ -153,11 +158,25 @@ def point_image_sample_batched(points: jax.Array, point_mask: jax.Array,
     vbase = (jnp.arange(bi * v, dtype=jnp.int32) *
              (hf * wf)).reshape(bi, 1, v, 1)
 
+    # chunk the flat gather so each piece stays in the fast regime (b=2
+    # full scale: 2M rows -> 2x ~1M chunks)
+    _CHUNK = GATHER_CHUNK_ROWS
+
     def gather(yi, xi):
         yi = jnp.clip(yi, 0, hf - 1)
         xi = jnp.clip(xi, 0, wf - 1)
-        idx = vbase + yi * wf + xi  # (BI, S, V, N)
-        return gather_rows(flat, idx.reshape(-1)).reshape(bi, s, v, n, c)
+        idx = (vbase + yi * wf + xi).reshape(-1)  # (BI*S*V*N,)
+        rows = idx.shape[0]
+        if rows <= _CHUNK:
+            out = gather_rows(flat, idx)
+        else:
+            nch = -(-rows // _CHUNK)
+            csz = -(-rows // nch)
+            out = jnp.concatenate([
+                gather_rows(flat, idx[i * csz:(i + 1) * csz])
+                for i in range(nch)
+            ])
+        return out.reshape(bi, s, v, n, c)
 
     if mode == 'nearest':
         sampled = gather(jnp.round(yf).astype(jnp.int32),

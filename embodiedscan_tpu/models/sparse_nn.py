@@ -53,23 +53,38 @@ class SparseConv(nn.Module):
                        (self.kernel_size, cin, self.features))
         b = self.param('bias', nn.initializers.zeros,
                        (self.features,)) if self.use_bias else None
+        # Flatten the batch into the row space instead of vmapping: batched
+        # (vmap) gathers lower ~1.6x worse per row on TPU than one flat
+        # gather over B*rows (traced at b=2 full scale: the three conv sites
+        # scaled 3.1-3.6x for 2x batch under vmap — the whole b>1 anomaly).
+        # Per-sample tables hold LOCAL row indices in every bmap mode, so
+        # absolute rows are nbr + sample*N; -1 (absent) stays -1 and maps to
+        # the shared zero row inside the flat kernels. The custom gather-only
+        # VJPs (subm mirror / strided transpose) are unchanged: mirror and
+        # transpose relations hold row-wise and never cross sample blocks.
+        bsz, n = feats.shape[:2]
+        m, kk = nbr.shape[1:]
+        ff = feats.reshape(bsz * n, cin)
+        fm = mask.reshape(bsz * n)
+        offs = jnp.arange(bsz, dtype=nbr.dtype)[:, None, None] * n
+        fnbr = jnp.where(nbr >= 0, nbr + offs, -1).reshape(bsz * m, kk)
         if out_mask is None and self.kernel_size == 27:
             # submanifold: mirror-symmetric table -> gather-only backward
-            out = jax.vmap(S.subm_gather_conv,
-                           in_axes=(0, 0, 0, None))(feats, mask, nbr, w)
+            out = S.subm_gather_conv(ff, fm, fnbr, w)
             if b is not None:
                 out = out + b
         elif t_nbr is not None:
-            # strided with precomputed transpose table -> gather backward
-            out = jax.vmap(S.strided_gather_conv,
-                           in_axes=(0, 0, 0, 0, None))(feats, mask, nbr,
-                                                       t_nbr, w)
+            # strided with precomputed transpose table -> gather backward;
+            # t_nbr indexes COARSE OUTPUT rows, so its offsets use m
+            toffs = jnp.arange(bsz, dtype=t_nbr.dtype)[:, None, None] * m
+            ft_nbr = jnp.where(t_nbr >= 0, t_nbr + toffs,
+                               -1).reshape(bsz * n, -1)
+            out = S.strided_gather_conv(ff, fm, fnbr, ft_nbr, w)
             if b is not None:
                 out = out + b
         else:
-            out = jax.vmap(S.gather_matmul_conv,
-                           in_axes=(0, 0, 0, None, None))(feats, mask, nbr,
-                                                          w, b)
+            out = S.gather_matmul_conv(ff, fm, fnbr, w, b)
+        out = out.reshape(bsz, m, self.features)
         om = mask if out_mask is None else out_mask
         return jnp.where(om[..., None], out, 0).astype(feats.dtype)
 

@@ -127,3 +127,47 @@ def test_batched_fusion_grad_matches_per_sample():
     g_p = jax.grad(loss_p)(jnp.asarray(feats))
     np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_p), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_batched_fusion_chunked_gather_matches_single():
+    """Shrinking GATHER_CHUNK_ROWS forces the multi-chunk gather path; the
+    output (and gradient) must be identical to the single-gather path."""
+    from embodiedscan_tpu.models import fusion as F
+    rng = np.random.RandomState(5)
+    bi, s, v, n, hf, wf, c = 2, 1, 2, 40, 6, 6, 3
+    h_pad, w_pad = 24, 24
+    points = rng.uniform(-1, 3, (bi, s, n, 3)).astype(np.float32)
+    pmask = rng.rand(bi, s, n) > 0.1
+    feats = rng.randn(bi, v, hf, wf, c).astype(np.float32)
+    k = np.array([[15.0, 0, 12, 0], [0, 15, 12, 0], [0, 0, 1, 0],
+                  [0, 0, 0, 1]], np.float32)
+    proj = np.tile(k[None, None], (bi, v, 1, 1)).copy()
+    proj[:, 1, 0, 3] = 3.0
+    aug = np.tile(np.eye(4, dtype=np.float32), (bi, 1, 1))
+    vmask = np.ones((bi, s, v), bool)
+    args = (jnp.asarray(points), jnp.asarray(pmask), jnp.asarray(feats),
+            jnp.asarray(proj), jnp.asarray(aug), (h_pad, w_pad))
+
+    def loss(f, mode):
+        return jnp.sum(
+            F.point_image_sample_batched(args[0], args[1], f, args[3],
+                                         args[4], args[5], mode,
+                                         jnp.asarray(vmask)) ** 2)
+
+    old = F.GATHER_CHUNK_ROWS
+    for mode in ('nearest', 'bilinear'):
+        single = F.point_image_sample_batched(*args, mode,
+                                              jnp.asarray(vmask))
+        g_single = jax.grad(lambda f: loss(f, mode))(args[2])
+        try:
+            F.GATHER_CHUNK_ROWS = 37  # rows = bi*s*v*n = 160 -> 5 chunks
+            chunked = F.point_image_sample_batched(*args, mode,
+                                                   jnp.asarray(vmask))
+            g_chunked = jax.grad(lambda f: loss(f, mode))(args[2])
+        finally:
+            F.GATHER_CHUNK_ROWS = old
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(single),
+                                   rtol=1e-6, atol=1e-6, err_msg=mode)
+        np.testing.assert_allclose(np.asarray(g_chunked),
+                                   np.asarray(g_single), rtol=1e-5,
+                                   atol=1e-6, err_msg=mode)
