@@ -11,9 +11,33 @@ stage freezing is applied by the optimizer mask at the train-loop level.
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .norm import FrozenBatchNorm
+
+
+def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 stride-2 max pool (pad 1) as 9 shifted strided slices.
+
+    Bit-identical to ``nn.max_pool(x, (3, 3), strides=(2, 2),
+    padding=((1, 1), (1, 1)))`` but lowers to strided slices + elementwise
+    maxima instead of ``reduce_window``; the backward becomes fused selects
+    rather than TPU's slow ``select-and-scatter`` (the stem pool traced
+    18 ms/step at full scale, PERF.md r3 ledger).
+    """
+    n, h, w, c = x.shape
+    ho, wo = (h + 1) // 2, (w + 1) // 2
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg)
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            s = jax.lax.slice(xp, (0, dy, dx, 0),
+                              (n, dy + 2 * ho - 1, dx + 2 * wo - 1, c),
+                              (1, 2, 2, 1))
+            out = s if out is None else jnp.maximum(out, s)
+    return out
 
 
 class Bottleneck(nn.Module):
@@ -99,7 +123,7 @@ class ResNet(nn.Module):
                     use_bias=False, dtype=self.dtype, name='stem_conv')(x)
         x = FrozenBatchNorm(name='stem_bn')(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = max_pool_3x3_s2(x)
         outs = []
         for i, blocks in enumerate(stage_blocks):
             planes = self.base_channels * 2**i

@@ -118,26 +118,73 @@ class TestDetectionOverfit:
             gts.append(dict(gt_boxes=np.asarray(batch['gt_boxes'][i])[gm],
                             gt_labels=np.asarray(batch['gt_labels'][i])[gm]))
         metrics = indoor_eval(gts, dts, (0.25,))
-        # memorized scenes: the assign/decode/NMS/eval chain must recover
-        # the training boxes
-        assert metrics['mAP_0.25'] >= 0.5, metrics
+        # memorized scenes + an oracle chain that scores 1.0
+        # (test_predict_chain.py) justify a high bar (VERDICT r2 next #3)
+        assert metrics['mAP_0.25'] >= 0.9, metrics
+
+
+def grounding_overfit_metrics(cfg, steps: int):
+    """Overfit + closed metric loop: predict -> ground_eval buckets."""
+    from embodiedscan_tpu.eval.grounding_metric import ground_eval
+    model, variables, batch, losses = overfit(cfg, steps=steps)
+    preds = jax.device_get(
+        jax.jit(lambda v, b: model.apply(v, b, train=False,
+                                         mode='predict'))(variables, batch))
+    gts, dts = [], []
+    for i in range(batch['points'].shape[0]):
+        dts.append(dict(bboxes=preds['bboxes'][i], scores=preds['scores'][i]))
+        gm = np.asarray(batch['gt_mask'][i])
+        gts.append(dict(gt_boxes=np.asarray(batch['gt_boxes'][i])[gm],
+                        is_view_dep=bool(np.asarray(batch['is_view_dep'][i])),
+                        is_hard=bool(np.asarray(batch['is_hard'][i])),
+                        is_unique=bool(np.asarray(batch['is_unique'][i]))))
+    return ground_eval(gts, dts), losses
+
+
+def occupancy_overfit_metrics(cfg, steps: int):
+    """Overfit + closed metric loop: predict -> occupancy_eval mIoU."""
+    import jax.numpy as jnp
+    from embodiedscan_tpu.eval.occupancy_metric import occupancy_eval
+    from embodiedscan_tpu.models.occupancy import occ_multiscale_targets
+    model, variables, batch, losses = overfit(cfg, steps=steps)
+    preds = jax.device_get(
+        jax.jit(lambda v, b: model.apply(v, b, train=False,
+                                         mode='predict'))(variables, batch))
+    gts, dts = [], []
+    vis = batch.get('visible_mask')
+    for i in range(batch['points'].shape[0]):
+        dts.append(preds[i])
+        tgt = occ_multiscale_targets(
+            jnp.asarray(batch['gt_occ'][i]), jnp.asarray(
+                batch['gt_occ_mask'][i]), 1, tuple(cfg.model.n_voxels),
+            None if vis is None else jnp.asarray(vis[i]))
+        gts.append(np.asarray(tgt))
+    return occupancy_eval(gts, dts, cfg.model.occ_classes), losses
 
 
 class TestGroundingOverfit:
 
-    def test_loss_decreases(self):
+    def test_overfit_grounding_ap(self):
         cfg = tiny_cfg('mv_grounding')
-        _, _, _, losses = overfit(cfg, steps=80)
+        metrics, losses = grounding_overfit_metrics(cfg, steps=80)
         first, last = np.mean(losses[:5]), np.mean(losses[-5:])
         assert np.isfinite(losses).all()
         assert last < 0.7 * first, (first, last)
+        # memorized prompts: top-10 of the trained queries must hit the
+        # target box at IoU 0.25 (VERDICT r2 next #3 — metric, not loss)
+        assert metrics['Overall@0.25'] >= 0.9, metrics
 
 
 class TestOccupancyOverfit:
 
-    def test_loss_decreases(self):
+    def test_overfit_occupancy_miou(self):
         cfg = tiny_cfg('mv_occ')
-        _, _, _, losses = overfit(cfg, steps=60)
+        metrics, losses = occupancy_overfit_metrics(cfg, steps=60)
         first, last = np.mean(losses[:5]), np.mean(losses[-5:])
         assert np.isfinite(losses).all()
         assert last < 0.7 * first, (first, last)
+        # memorized volume: geometry IoU (occupied-vs-empty; the class-0
+        # 'empty' slot, occupancy_metric.py:32-35) must be high; semantic
+        # mIoU averages over classes absent from the tiny fixture so the
+        # geometry bar is the meaningful one
+        assert metrics['empty'] >= 0.5, metrics

@@ -119,3 +119,27 @@ class TestChannelMapper:
             # padded rows stay zero
             np.testing.assert_allclose(
                 np.asarray(out.feats)[~np.asarray(out.mask)], 0)
+
+
+class TestMaxPoolSlices:
+
+    def test_matches_reduce_window(self):
+        """max_pool_3x3_s2 (shifted-slice form) vs flax nn.max_pool, even
+        and odd spatial sizes, values and gradients."""
+        import flax.linen as nn
+        from embodiedscan_tpu.models.resnet2d import max_pool_3x3_s2
+        rng = np.random.RandomState(0)
+        for h, w in ((8, 8), (9, 7), (6, 10)):
+            x = jnp.asarray(rng.randn(2, h, w, 5).astype(np.float32))
+            want = nn.max_pool(x, (3, 3), strides=(2, 2),
+                               padding=((1, 1), (1, 1)))
+            got = max_pool_3x3_s2(x)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       err_msg=f'{h}x{w}')
+            g_want = jax.grad(lambda a: jnp.sum(
+                nn.max_pool(a, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1))) ** 2))(x)
+            g_got = jax.grad(lambda a: jnp.sum(max_pool_3x3_s2(a) ** 2))(x)
+            np.testing.assert_allclose(np.asarray(g_got),
+                                       np.asarray(g_want), rtol=1e-6,
+                                       err_msg=f'grad {h}x{w}')

@@ -44,13 +44,17 @@ def main():
     import numpy as np
 
     sys.path.insert(0, 'tests')
-    from test_quality import overfit, tiny_cfg
+    from test_quality import (grounding_overfit_metrics,
+                              occupancy_overfit_metrics, overfit, tiny_cfg)
 
     lines = ['# QUALITY — synthetic overfit evidence', '',
              'Tiny models trained on ONE fixed synthetic batch; the loss '
-             'must collapse and detection must recover the memorized boxes '
-             'through the full predict -> NMS -> indoor_eval chain '
-             '(VERDICT r1 item 3).', '']
+             'must collapse and every task must recover the memorized '
+             'targets through its full predict -> metric chain '
+             '(det: NMS -> indoor_eval; grounding: top-10 -> ground_eval; '
+             'occ: argmax -> occupancy_eval). VERDICT r1 item 3 / r2 next '
+             '#3; the same checks run as tests/test_quality.py (-m slow).',
+             '']
 
     cfg = tiny_cfg('mv_det3d')
     model, variables, batch, losses = overfit(cfg, steps=args.steps)
@@ -75,13 +79,25 @@ def main():
               f'mAP@0.5: {m.get("mAP_0.50", float("nan")):.3f}', '']
     print(lines[-3], lines[-2])
 
-    for task, steps in (('mv_grounding', args.steps),
-                        ('mv_occ', max(40, args.steps // 2))):
-        _, _, _, losses = overfit(tiny_cfg(task), steps=steps)
-        lines += [f'## {task} ({steps} steps)', '',
-                  f'- loss: {np.mean(losses[:5]):.3f} -> '
-                  f'{np.mean(losses[-5:]):.3f}', '']
-        print(lines[-2])
+    gm_, losses = grounding_overfit_metrics(tiny_cfg('mv_grounding'),
+                                            steps=args.steps)
+    lines += [f'## mv_grounding ({args.steps} steps)', '',
+              f'- loss: {np.mean(losses[:5]):.3f} -> '
+              f'{np.mean(losses[-5:]):.3f}',
+              f'- overfit grounding acc Overall@0.25: '
+              f'**{gm_["Overall@0.25"]:.3f}**  '
+              f'Overall@0.5: {gm_["Overall@0.5"]:.3f}', '']
+    print(lines[-3], lines[-2])
+
+    occ_steps = max(40, args.steps // 2)
+    om, losses = occupancy_overfit_metrics(tiny_cfg('mv_occ'),
+                                           steps=occ_steps)
+    lines += [f'## mv_occ ({occ_steps} steps)', '',
+              f'- loss: {np.mean(losses[:5]):.3f} -> '
+              f'{np.mean(losses[-5:]):.3f}',
+              f'- overfit geometry IoU: **{om["empty"]:.3f}**  '
+              f'mIoU: {om["mIoU"]:.3f}', '']
+    print(lines[-3], lines[-2])
 
     with open(args.out, 'w') as f:
         f.write('\n'.join(lines) + '\n')
