@@ -97,6 +97,10 @@ class ModelConfig:
     nms_pre: int = 1000
     max_candidates: int = 1024
     max_dets: int = 256
+    # 'reference' = yaw-truncated detection predictions exactly like the
+    # published protocol (fcaf3d_head.py:1681-1683); 'full9d' keeps the
+    # predicted pitch/roll (our extension, NOT the published protocol)
+    predict_protocol: str = 'reference'
     # grounding
     num_queries: int = 256
     max_text_len: int = 256
@@ -243,6 +247,7 @@ def build_model(cfg: Config):
             nms_pre=m.nms_pre,
             max_candidates=m.max_candidates,
             max_dets=m.max_dets,
+            predict_protocol=m.predict_protocol,
             remat=m.remat)
     if m.task == 'mv_grounding':
         from ..models.grounding import SparseFusionGrounder

@@ -43,6 +43,9 @@ class SparseFusionDetector(nn.Module):
     img_dtype: jnp.dtype = jnp.float32
     # 'euler9d' (FCAF3DHeadRotMat), 'yaw7d' or 'aa6d' (reference FCAF3DHead)
     bbox_mode: str = 'euler9d'
+    # 'reference' = yaw-truncated predictions exactly like the published
+    # protocol (fcaf3d_head.py:1681-1683); 'full9d' keeps predicted pitch/roll
+    predict_protocol: str = 'reference'
     # rematerialize backbone stages in backward (memory for recompute):
     # False/'none', True/'all', '2d' (image branch only), '3d' (sparse only)
     remat: bool | str = False
@@ -65,7 +68,8 @@ class SparseFusionDetector(nn.Module):
             nms_pre=self.nms_pre,
             max_candidates=self.max_candidates,
             max_dets=self.max_dets,
-            bbox_mode=self.bbox_mode)
+            bbox_mode=self.bbox_mode,
+            predict_protocol=self.predict_protocol)
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = True, mode: str = 'loss'):

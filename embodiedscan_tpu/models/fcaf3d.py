@@ -205,6 +205,14 @@ class FCAF3DHead(nn.Module):
     score_thr: float = 0.01
     max_candidates: int = 1024
     max_dets: int = 256
+    # Published-protocol knob for the rot-mat head: the reference truncates
+    # decoded 9-dim boxes to 7-dim yaw boxes before NMS and RETURNS those
+    # (fcaf3d_head.py:1681-1683 `bboxes = bboxes[..., :7]`, wrapped
+    # with_yaw=True at :1405-1424), so every published detection AP is
+    # computed on yaw-only predictions. 'reference' reproduces that (pitch/
+    # roll zeroed pre-NMS in our shared 9-dim layout); 'full9d' keeps the
+    # full predicted orientation.
+    predict_protocol: str = 'reference'
 
     def _up_tconv(self, x: S.SparseTensor, cout: int,
                   name: str) -> S.SparseTensor:
@@ -398,6 +406,9 @@ class FCAF3DHead(nn.Module):
 
     def predict(self, outs: HeadOutputs) -> dict:
         """Decode + multiclass NMS. Returns (B, D) padded detections."""
+        if self.predict_protocol not in ('reference', 'full9d'):
+            raise ValueError(
+                f'unknown predict_protocol {self.predict_protocol!r}')
 
         def per_sample(centers, regs, clss, ptss, msks):
             lvl_boxes, lvl_scores, lvl_masks = [], [], []
@@ -414,6 +425,11 @@ class FCAF3DHead(nn.Module):
             boxes = jnp.concatenate(lvl_boxes)  # (T, 9)
             scores = jnp.concatenate(lvl_scores)  # (T, C)
             mask = jnp.concatenate(lvl_masks)
+            if self.bbox_mode == 'euler9d' and \
+                    self.predict_protocol == 'reference':
+                # reference protocol: yaw-only boxes through NMS AND in the
+                # returned predictions (see predict_protocol docstring)
+                boxes = boxes.at[..., 7:9].set(0.0)
 
             flat = jnp.where(mask[:, None] & (scores > self.score_thr),
                              scores, 0).reshape(-1)

@@ -14,10 +14,15 @@ flax trees:
   ``layer{i}_{j}/Conv_{k-1}``; downsample -> the trailing Conv/FrozenBatchNorm
   in the block.
 
-Converting full reference EmbodiedScan checkpoints additionally needs the
-MinkowskiEngine kernel-offset permutation (ME enumerates its hypercube kernel
-in its own order vs. our x-major ``OFFSETS_3``); that mapping is exposed as a
-parameter and left to calibration against a live ME install.
+Converting full reference EmbodiedScan checkpoints additionally applies the
+MinkowskiEngine kernel-offset permutation (``me_kernel_permutation``): ME's
+region iterator enumerates the hypercube odometer-style with the FIRST
+spatial axis varying fastest (z-major rows), while our ``OFFSETS_3`` varies z
+fastest. The mapping is derived analytically from ME's documented
+enumeration and pinned by ``tests/test_me_permutation.py``, which checks
+conv-output equivalence (submanifold k3, strided k3 s2, generative
+transposed k2 s2) against an independently-encoded ME-semantics oracle — no
+live ME install needed.
 """
 
 from typing import Dict
@@ -142,7 +147,9 @@ def me_kernel_permutation(kernel_size: int = 3, flip: bool = False):
     with dimension 0 varying fastest (offsets -(k//2)..k//2 per axis for odd
     k, 0..k-1 for the generative transposed conv's even k), while this
     framework's ``OFFSETS_3``/``OFFSETS_2`` vary z fastest (ops/sparse.py:31).
-    Returns ``perm`` such that ``ours[i] = me[perm[i]]``.
+    Returns ``perm`` such that ``ours[i] = me[perm[i]]``. Pinned offline by
+    ``tests/test_me_permutation.py`` (conv-output equivalence against an
+    independently-encoded ME-semantics oracle for all three kernel shapes).
 
     Args:
         kernel_size: 3 (27-point conv), 2 (8-point transposed), or 1.

@@ -88,8 +88,10 @@ def _scene(rng, g=4, n_bg=64, num_classes=5, mode='euler9d'):
     return points, reg, cls, center, mask, boxes, labels
 
 
-@pytest.mark.parametrize('mode', ['euler9d', 'yaw7d', 'aa6d'])
-def test_perfect_outputs_give_perfect_map(mode):
+@pytest.mark.parametrize('mode,protocol', [
+    ('euler9d', 'full9d'), ('euler9d', 'reference'),
+    ('yaw7d', 'reference'), ('aa6d', 'reference')])
+def test_perfect_outputs_give_perfect_map(mode, protocol):
     rng = np.random.RandomState(0)
     num_classes, b = 5, 2
     scenes = [_scene(rng, mode=mode) for _ in range(b)]
@@ -98,8 +100,13 @@ def test_perfect_outputs_give_perfect_map(mode):
                        cls=[stack(2)], points=[stack(0)], masks=[stack(4)])
     head = FCAF3DHead(num_classes=num_classes, bbox_mode=mode, nms_pre=64,
                       max_candidates=64, max_dets=16, iou_thr=0.5,
-                      score_thr=0.01)
+                      score_thr=0.01, predict_protocol=protocol)
     preds = {k: np.asarray(v) for k, v in head.predict(outs).items()}
+
+    if mode == 'euler9d' and protocol == 'reference':
+        # published protocol: yaw-only predictions — pitch/roll must be
+        # exactly zero (fcaf3d_head.py:1681-1683 truncates to [..., :7])
+        assert (preds['bboxes'][..., 7:9] == 0).all()
 
     gts, dts = [], []
     for i, s in enumerate(scenes):
@@ -107,17 +114,17 @@ def test_perfect_outputs_give_perfect_map(mode):
         dts.append(dict(bboxes=preds['bboxes'][i][keep],
                         scores=preds['scores'][i][keep],
                         labels=preds['labels'][i][keep]))
-        gt_boxes = s[5]
-        if mode == 'aa6d':
-            gt = gt_boxes
-        elif mode == 'yaw7d':
-            gt = gt_boxes
-        else:
-            gt = gt_boxes
-        gts.append(dict(gt_boxes=gt, gt_labels=s[6]))
+        gts.append(dict(gt_boxes=s[5], gt_labels=s[6]))
     metrics = indoor_eval(gts, dts, (0.25, 0.5))
     assert metrics['mAP_0.25'] == pytest.approx(1.0, abs=1e-6), metrics
-    assert metrics['mAP_0.50'] == pytest.approx(1.0, abs=1e-6), metrics
+    if mode == 'euler9d' and protocol == 'reference':
+        # yaw-truncated predictions vs tilted (±0.25 rad) GT: exact IoU=1
+        # matches are impossible by construction; the chain must still
+        # recover every GT at the 0.25 threshold (asserted above) and
+        # nearly all at 0.5
+        assert metrics['mAP_0.50'] >= 0.7, metrics
+    else:
+        assert metrics['mAP_0.50'] == pytest.approx(1.0, abs=1e-6), metrics
 
 
 def test_wrong_labels_fail_eval():
