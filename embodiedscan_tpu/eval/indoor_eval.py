@@ -21,17 +21,29 @@ def average_precision(recalls: np.ndarray, precisions: np.ndarray,
         precisions = precisions[np.newaxis, :]
     num_scales = recalls.shape[0]
     ap = np.zeros(num_scales, dtype=np.float32)
-    if mode != 'area':
-        raise ValueError('only area mode is supported')
-    zeros = np.zeros((num_scales, 1), dtype=recalls.dtype)
-    ones = np.ones((num_scales, 1), dtype=recalls.dtype)
-    mrec = np.hstack((zeros, recalls, ones))
-    mpre = np.hstack((zeros, precisions, zeros))
-    for i in range(mpre.shape[1] - 1, 0, -1):
-        mpre[:, i - 1] = np.maximum(mpre[:, i - 1], mpre[:, i])
-    for i in range(num_scales):
-        ind = np.where(mrec[i, 1:] != mrec[i, :-1])[0]
-        ap[i] = np.sum((mrec[i, ind + 1] - mrec[i, ind]) * mpre[i, ind + 1])
+    if mode == 'area':
+        zeros = np.zeros((num_scales, 1), dtype=recalls.dtype)
+        ones = np.ones((num_scales, 1), dtype=recalls.dtype)
+        mrec = np.hstack((zeros, recalls, ones))
+        mpre = np.hstack((zeros, precisions, zeros))
+        for i in range(mpre.shape[1] - 1, 0, -1):
+            mpre[:, i - 1] = np.maximum(mpre[:, i - 1], mpre[:, i])
+        for i in range(num_scales):
+            ind = np.where(mrec[i, 1:] != mrec[i, :-1])[0]
+            ap[i] = np.sum(
+                (mrec[i, ind + 1] - mrec[i, ind]) * mpre[i, ind + 1])
+    elif mode == '11points':
+        # recall thresholds [0, 0.1, ..., 1]; max precision at/after each
+        # (reference indoor_eval.py:43-49, including its in-loop /= 11 —
+        # reproduced exactly so multi-scale results match bit-for-bit)
+        for i in range(num_scales):
+            for thr in np.arange(0, 1 + 1e-3, 0.1):
+                precs = precisions[i, recalls[i, :] >= thr]
+                ap[i] += precs.max() if precs.size > 0 else 0
+            ap /= 11
+    else:
+        raise ValueError(
+            'Unrecognized mode, only "area" and "11points" are supported')
     return ap
 
 

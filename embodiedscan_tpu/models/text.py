@@ -119,11 +119,13 @@ def build_positive_maps(tokenizer, texts: List[str],
                 beg_pos = tokenizer.char_to_token(i, beg)
                 end_pos = tokenizer.char_to_token(i, end - 1)
                 if beg_pos is None:
-                    beg_pos = (tokenizer.char_to_token(i, beg + 1)
-                               or tokenizer.char_to_token(i, beg + 2))
+                    beg_pos = tokenizer.char_to_token(i, beg + 1)
+                    if beg_pos is None:
+                        beg_pos = tokenizer.char_to_token(i, beg + 2)
                 if end_pos is None:
-                    end_pos = (tokenizer.char_to_token(i, end - 2)
-                               or tokenizer.char_to_token(i, end - 3))
+                    end_pos = tokenizer.char_to_token(i, end - 2)
+                    if end_pos is None:
+                        end_pos = tokenizer.char_to_token(i, end - 3)
                 if beg_pos is None or end_pos is None:
                     continue
                 out[i, j, beg_pos:end_pos + 1] = 1.0

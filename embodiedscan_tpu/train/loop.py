@@ -122,6 +122,21 @@ def train(cfg: Config, max_steps: int | None = None):
     from .metrics_writer import MetricsWriter
     writer = MetricsWriter(cfg.work_dir, tuple(cfg.log_backends)) \
         if is_main_process() else None
+    try:
+        state = _train_epochs(cfg, mesh, loader, step_fn, state, ckpt, writer,
+                              start_step, total_steps, steps_per_epoch)
+    finally:
+        # always flush the jsonl/TensorBoard handles, even when the loop
+        # raises mid-epoch (buffered events would otherwise be dropped)
+        if writer is not None:
+            writer.close()
+    return state
+
+
+def _train_epochs(cfg, mesh, loader, step_fn, state, ckpt, writer, start_step,
+                  total_steps, steps_per_epoch):
+    """Body of the train loop (split out so train() can try/finally it)."""
+    from ..parallel.multihost import host_local_to_global, is_main_process
     t0 = time.time()
     window = []
     step = start_step
@@ -165,8 +180,6 @@ def train(cfg: Config, max_steps: int | None = None):
                              step // steps_per_epoch)
     if step % steps_per_epoch != 0 and is_main_process():
         ckpt.save(step, jax.device_get(state))
-    if writer is not None:
-        writer.close()
     return state
 
 

@@ -279,3 +279,115 @@ class TestCustomVJPs:
                                    atol=1e-4)
         np.testing.assert_allclose(np.asarray(gr[1]), np.asarray(gn[1]),
                                    atol=1e-4)
+
+
+class TestBatchedTopkTies:
+    """Pin topk_select_b vs per-sample topk_select at b=8 (VERDICT r3 #8).
+
+    The flat batched path truncates ceil(log2(B)) low score-key bits to
+    pack the batch id into one int32 sort key (ops/sparse.py:194-230). With
+    B=8 that drops 3 mantissa bits: scores separated by more than 2^-20
+    relative select identically; adversarial near-ties inside the truncated
+    granularity may tie-break differently but must still be a valid top-k
+    at truncated precision.
+    """
+
+    B, N, K, C = 8, 64, 16, 4
+
+    def _batch(self, scores):
+        rng = np.random.RandomState(7)
+        coords, feats, mask = [], [], []
+        for i in range(self.B):
+            c = rng.randint(-20, 20, size=(self.N * 2, 3)).astype(np.int32)
+            c = np.unique(c, axis=0)[:self.N]
+            assert c.shape[0] == self.N
+            coords.append(c)
+            feats.append(rng.randn(self.N, self.C).astype(np.float32))
+            m = np.ones(self.N, bool)
+            m[-4:] = False  # some invalid rows per sample
+            mask.append(m)
+        st = S.SparseTensor(jnp.asarray(np.stack(coords)),
+                            jnp.asarray(np.stack(feats)),
+                            jnp.asarray(np.stack(mask)))
+        return st, jnp.asarray(scores)
+
+    def _rowsets(self, st_b, out_b):
+        """Selected (coord tuple) sets per sample, valid rows only."""
+        sets = []
+        for i in range(self.B):
+            m = np.asarray(out_b.mask[i])
+            sets.append({tuple(r) for r in np.asarray(out_b.coords[i])[m]})
+        return sets
+
+    def _per_sample(self, st, scores):
+        outs = []
+        for i in range(self.B):
+            sti = S.SparseTensor(st.coords[i], st.feats[i], st.mask[i])
+            outs.append(S.topk_select(sti, scores[i], self.K))
+        return outs
+
+    def test_separated_scores_select_identically(self):
+        rng = np.random.RandomState(1)
+        # scores distinct at much coarser than 2^-20 relative granularity
+        scores = rng.uniform(0.1, 10.0, (self.B, self.N)).astype(np.float32)
+        st, scores = self._batch(scores)
+        flat = S.topk_select_b(st, scores, self.K)
+        per = self._per_sample(st, scores)
+        for i in range(self.B):
+            m_f = np.asarray(flat.mask[i])
+            m_p = np.asarray(per[i].mask)
+            got = {tuple(r) for r in np.asarray(flat.coords[i])[m_f]}
+            want = {tuple(r) for r in np.asarray(per[i].coords)[m_p]}
+            assert got == want, f'sample {i}'
+            # engine invariant: both key-sorted -> identical row order too
+            np.testing.assert_array_equal(
+                np.asarray(flat.coords[i])[m_f],
+                np.asarray(per[i].coords)[m_p])
+            np.testing.assert_allclose(np.asarray(flat.feats[i])[m_f],
+                                       np.asarray(per[i].feats)[m_p],
+                                       rtol=0, atol=0)
+
+    def test_near_ties_valid_at_truncated_precision(self):
+        # adversarial: all scores inside one truncated-key bucket around
+        # the k boundary — low 3 mantissa bits only
+        base = np.float32(1.0)
+        eps = np.spacing(base, dtype=np.float32)  # 1 ulp at 1.0
+        rng = np.random.RandomState(2)
+        jitter = rng.randint(0, 8, (self.B, self.N)).astype(np.float32)
+        scores = base + jitter * eps  # spans exactly the truncated bits
+        st, scores = self._batch(scores.astype(np.float32))
+        flat = S.topk_select_b(st, scores, self.K)
+        per = self._per_sample(st, scores)
+
+        def trunc_key(s):
+            return np.asarray(
+                jax.vmap(S._monotone_desc_key)(s)).astype(np.uint32) >> 3
+
+        tk = trunc_key(scores)
+        for i in range(self.B):
+            m = np.asarray(st.mask[i])
+            m_f = np.asarray(flat.mask[i])
+            sel_rows = []
+            sel_coords = np.asarray(flat.coords[i])[m_f]
+            all_coords = np.asarray(st.coords[i])
+            for r in sel_coords:
+                hits = np.where((all_coords == r).all(-1) & m)[0]
+                assert hits.size == 1
+                sel_rows.append(hits[0])
+            sel_rows = np.asarray(sorted(sel_rows))
+            assert len(sel_rows) == self.K
+            # valid top-k at truncated precision: every selected row's
+            # truncated key must be <= (descending key: better) every
+            # unselected valid row's, allowing equality
+            unsel = np.setdiff1d(np.where(m)[0], sel_rows)
+            assert tk[i][sel_rows].max() <= tk[i][unsel].min()
+            # and the truncated-key multiset must match the per-sample
+            # selection's (both are top-k of the same truncated multiset)
+            m_p = np.asarray(per[i].mask)
+            per_coords = np.asarray(per[i].coords)[m_p]
+            per_rows = []
+            for r in per_coords:
+                hits = np.where((all_coords == r).all(-1) & m)[0]
+                per_rows.append(hits[0])
+            np.testing.assert_array_equal(
+                np.sort(tk[i][sel_rows]), np.sort(tk[i][np.asarray(per_rows)]))
