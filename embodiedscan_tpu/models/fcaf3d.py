@@ -235,9 +235,8 @@ class FCAF3DHead(nn.Module):
         f = nn.elu(f)
         return S.SparseTensor(up.coords, f, up.mask)
 
-    def _out_block(self, x: S.SparseTensor, train: bool,
-                   name: str) -> jax.Array:
-        nbr = bneighbor_table(x, S.OFFSETS_3)
+    def _out_block(self, x: S.SparseTensor, train: bool, name: str,
+                   nbr: jax.Array) -> jax.Array:
         f = SparseConv(self.out_channels, name=f'{name}_conv')(
             x.feats, x.mask, nbr)
         f = MaskedBatchNorm(name=f'{name}_bn')(
@@ -265,17 +264,17 @@ class FCAF3DHead(nn.Module):
         center_preds, reg_preds, cls_preds, points, masks = \
             [], [], [], [], []
         x = inputs[-1]
-        prune_level = None  # (coords, scores, mask) of the coarser level
+        # (coords, scores, mask, 27-nbr table) of the coarser level; the
+        # table the coarse out-block already built drives ALL of the finer
+        # level's coordinate tables structurally (see fpn_tables)
+        prune_level = None
         for i in range(n_levels - 1, -1, -1):
             if i < n_levels - 1:
                 up = self._up_tconv(x, self.in_channels[i],
                                     name=f'up_block_{i + 1}')
-                # children-conv table, lateral coordinate match, and
-                # prune-interp corner lookup all fuse into ONE sort: they
-                # depend only on children/lateral/coarser coords
-                pcoords, pscores, pm = prune_level
+                pcoords, pscores, pm, pnbr = prune_level
                 nbr_u, lat_idx, interp_idx = fpn_tables(
-                    up, inputs[i], pcoords, pm)
+                    pnbr, pcoords, pm, inputs[i])
                 up = self._up_rest(up, self.in_channels[i], train,
                                    name=f'up_block_{i + 1}', nbr=nbr_u)
                 x = S.bmap(S.scatter_sum_into, (0, 0, 0))(up, inputs[i], lat_idx)
@@ -289,14 +288,15 @@ class FCAF3DHead(nn.Module):
                 keep = min(self.pts_prune_threshold, self.fpn_capacities[i])
                 x = S.btopk_select(x, score, keep)
 
-            out = self._out_block(x, train, name=f'out_block_{i}')
+            nbr27 = bneighbor_table(x, S.OFFSETS_3)
+            out = self._out_block(x, train, name=f'out_block_{i}', nbr=nbr27)
             center = conv_center(out)
             cls = conv_cls(out)
             reg_raw = conv_reg(out)
             reg_dist = jnp.clip(jnp.exp(scales[i] * reg_raw[..., :6]),
                                 min=1e-3)
             reg = jnp.concatenate([reg_dist, reg_raw[..., 6:]], -1)
-            prune_level = (x.coords, jnp.max(cls, -1), x.mask)
+            prune_level = (x.coords, jnp.max(cls, -1), x.mask, nbr27)
 
             world = x.coords.astype(jnp.float32) * (self.strides[i] *
                                                     self.voxel_size)

@@ -78,10 +78,11 @@ class MinkNeck(nn.Module):
             if i < n_levels - 1:
                 up = self._up_tconv(x, self.in_channels[i],
                                     f'up_block_{i + 1}')
-                pcoords, pscores, pm = prune_level
-                # three per-level lookups fused into one sort (see fpn_tables)
+                pcoords, pscores, pm, pnbr = prune_level
+                # per-level tables derived from the coarse 27-table, no
+                # merged sort (see fpn_tables)
                 nbr_u, lat_idx, interp_idx = fpn_tables(
-                    up, inputs[i], pcoords, pm)
+                    pnbr, pcoords, pm, inputs[i])
                 up = self._up_rest(up, self.in_channels[i], train,
                                    f'up_block_{i + 1}', nbr_u)
                 x = S.bmap(S.scatter_sum_into, (0, 0, 0))(up, inputs[i], lat_idx)
@@ -103,7 +104,7 @@ class MinkNeck(nn.Module):
                 f, x.mask, use_running_average=not train)
             f = nn.elu(f)
             cls = conv_cls(f)
-            prune_level = (x.coords, cls[..., 0], x.mask)
+            prune_level = (x.coords, cls[..., 0], x.mask, nbr)
             world = x.coords.astype(jnp.float32) * (self.strides[i] *
                                                     self.voxel_size)
             feats_l.append(f)

@@ -19,7 +19,8 @@ def _chain(points, feats, mask, weights_s, weights_d):
     import jax.numpy as jnp
     from embodiedscan_tpu.models.sparse_nn import (bdownsample,
                                                    bneighbor_table,
-                                                   fpn_tables, stage_tables)
+                                                   fpn_tables_merge,
+                                                   stage_tables)
 
     if S.BMAP_MODE == 'flat':
         st = S.from_points_b(points, feats, mask, 0.25, 96)
@@ -40,7 +41,8 @@ def _chain(points, feats, mask, weights_s, weights_d):
     score = jnp.sum(st2.feats, -1)
     kept = S.btopk_select(st2, score, 32)
     # FPN-level fused tables (children conv + lateral join + prune interp)
-    nbr_u, lat_idx, interp_idx = fpn_tables(st, st, st2.coords, st2.mask)
+    nbr_u, lat_idx, interp_idx = fpn_tables_merge(st, st, st2.coords,
+                                                  st2.mask)
     return (st.coords, st.feats, st.mask, c_nbr, t_nbr, kept.coords,
             kept.feats, kept.mask, nbr_u, lat_idx, interp_idx)
 
