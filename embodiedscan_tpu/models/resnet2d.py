@@ -17,27 +17,100 @@ import jax.numpy as jnp
 from .norm import FrozenBatchNorm
 
 
-def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
-    """3x3 stride-2 max pool (pad 1) as 9 shifted strided slices.
-
-    Bit-identical to ``nn.max_pool(x, (3, 3), strides=(2, 2),
-    padding=((1, 1), (1, 1)))`` but lowers to strided slices + elementwise
-    maxima instead of ``reduce_window``; the backward becomes fused selects
-    rather than TPU's slow ``select-and-scatter`` (the stem pool traced
-    18 ms/step at full scale, PERF.md r3 ledger).
-    """
+def _pool_slices(x: jnp.ndarray):
+    """The 9 shifted stride-2 window slices of a 3x3/s2/pad-1 pool."""
     n, h, w, c = x.shape
     ho, wo = (h + 1) // 2, (w + 1) // 2
     neg = jnp.asarray(-jnp.inf, x.dtype)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg)
-    out = None
+    out = []
     for dy in range(3):
         for dx in range(3):
-            s = jax.lax.slice(xp, (0, dy, dx, 0),
-                              (n, dy + 2 * ho - 1, dx + 2 * wo - 1, c),
-                              (1, 2, 2, 1))
-            out = s if out is None else jnp.maximum(out, s)
+            out.append(jax.lax.slice(
+                xp, (0, dy, dx, 0),
+                (n, dy + 2 * ho - 1, dx + 2 * wo - 1, c), (1, 2, 2, 1)))
     return out
+
+
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _max_pool_impl(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    slices = _pool_slices(x)
+    out = slices[0]
+    for s in slices[1:]:
+        out = jnp.maximum(out, s)
+    return out
+
+
+def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 stride-2 max pool (pad 1) as 9 shifted strided slices.
+
+    Bit-identical forward to ``nn.max_pool(x, (3, 3), strides=(2, 2),
+    padding=((1, 1), (1, 1)))`` but lowers to strided slices + elementwise
+    maxima instead of ``reduce_window``. The custom VJP routes each output
+    gradient to the FIRST window element attaining the max (row-major in
+    the window — torch MaxPool2d semantics) and assembles grad_x by
+    shift+interleave of the 9 per-offset contribution fields: the naive
+    slice backward emits 9 interior-padded ``pad`` HLOs ((N,241,241,64)
+    writes at ~46 GB/s, ~29 ms/step at full scale in the r4 trace); this
+    formulation is pure elementwise + unit shifts + one interleave reshape.
+    """
+    return _max_pool_impl(x, x.shape[1], x.shape[2])
+
+
+def _max_pool_fwd(x, h, w):
+    slices = _pool_slices(x)
+    best = slices[0]
+    idx = jnp.zeros(best.shape, jnp.int8)
+    for k, s in enumerate(slices[1:], start=1):
+        upd = s > best  # strict: first max (scan order) keeps the gradient
+        best = jnp.where(upd, s, best)
+        idx = jnp.where(upd, jnp.int8(k), idx)
+    return best, idx
+
+
+def _shift_up(a, axis):
+    """a[..., i, ...] <- a[..., i+1, ...] with 0 fill at the end."""
+    sl = [slice(None)] * a.ndim
+    sl[axis] = slice(1, None)
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, 1)
+    return jnp.pad(a[tuple(sl)], pad)
+
+
+def _max_pool_bwd(h, w, idx, g):
+    n, ho, wo, c = g.shape
+    # contribution of window offset k=(dy,dx): g where that offset won.
+    # input row i = 2*wy - 1 + dy maps to (parity, window):
+    #   even i=2wy   <- dy=1 at wy;  odd i=2wy+1 <- dy=2 at wy, dy=0 at wy+1
+    c_ = {k: g * (idx == k) for k in range(9)}
+
+    def comb(cyx, shifts):
+        out = None
+        for k, (sy, sx) in zip(cyx, shifts):
+            t = c_[k]
+            if sy:
+                t = _shift_up(t, 1)
+            if sx:
+                t = _shift_up(t, 2)
+            out = t if out is None else out + t
+        return out
+
+    kk = lambda dy, dx: dy * 3 + dx
+    g00 = comb([kk(1, 1)], [(0, 0)])
+    g01 = comb([kk(1, 2), kk(1, 0)], [(0, 0), (0, 1)])
+    g10 = comb([kk(2, 1), kk(0, 1)], [(0, 0), (1, 0)])
+    g11 = comb([kk(2, 2), kk(2, 0), kk(0, 2), kk(0, 0)],
+               [(0, 0), (0, 1), (1, 0), (1, 1)])
+    # interleave (wy, ry, wx, rx) -> rows 2wy+ry, cols 2wx+rx
+    quad = jnp.stack([jnp.stack([g00, g01], 3), jnp.stack([g10, g11], 3)], 2)
+    gx = quad.reshape(n, 2 * ho, 2 * wo, c)
+    return (gx[:, :h, :w],)
+
+
+_max_pool_impl.defvjp(_max_pool_fwd, _max_pool_bwd)
 
 
 class Bottleneck(nn.Module):

@@ -143,3 +143,22 @@ class TestMaxPoolSlices:
             np.testing.assert_allclose(np.asarray(g_got),
                                        np.asarray(g_want), rtol=1e-6,
                                        err_msg=f'grad {h}x{w}')
+
+    def test_tie_routes_to_single_element(self):
+        """On a tied plateau (e.g. post-ReLU zeros) the custom VJP routes
+        each output gradient to exactly ONE input element — the first max in
+        window scan order (torch MaxPool2d semantics) — so the total
+        gradient mass is conserved, never multiplied across ties."""
+        from embodiedscan_tpu.models.resnet2d import max_pool_3x3_s2
+        x = jnp.zeros((1, 6, 6, 1), jnp.float32)  # all-tie plateau
+        g = jax.grad(lambda a: jnp.sum(max_pool_3x3_s2(a)))(x)
+        g = np.asarray(g)[0, :, :, 0]
+        # 3x3 output windows, each routed once: total mass == 9
+        assert g.sum() == 9.0, g
+        # first-max scan order: window (wy,wx) covers rows 2wy-1..2wy+1;
+        # the first in-bounds element is (max(2wy-1,0), max(2wx-1,0))
+        want = np.zeros((6, 6))
+        for wy in range(3):
+            for wx in range(3):
+                want[max(2 * wy - 1, 0), max(2 * wx - 1, 0)] += 1
+        np.testing.assert_array_equal(g, want)
