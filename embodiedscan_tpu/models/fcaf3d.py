@@ -24,7 +24,8 @@ from ..ops import sparse as S
 from .losses import (axis_aligned_iou_loss, bbox_cd_loss, bce_with_logits,
                      rotated_iou_loss, sigmoid_focal_loss)
 from .norm import MaskedBatchNorm
-from .sparse_nn import SparseConv, bneighbor_table, fpn_tables
+from .sparse_nn import (SparseConv, bneighbor_table, fpn_prune_scores,
+                        fpn_tables)
 
 # bias init matching mmengine bias_init_with_prob(0.01)
 _CLS_BIAS = float(-np.log((1 - 0.01) / 0.01))
@@ -273,18 +274,15 @@ class FCAF3DHead(nn.Module):
                 up = self._up_tconv(x, self.in_channels[i],
                                     name=f'up_block_{i + 1}')
                 pcoords, pscores, pm, pnbr = prune_level
-                nbr_u, lat_idx, interp_idx = fpn_tables(
+                nbr_u, lat_idx, corner_idx = fpn_tables(
                     pnbr, pcoords, pm, inputs[i])
                 up = self._up_rest(up, self.in_channels[i], train,
                                    name=f'up_block_{i + 1}', nbr=nbr_u)
                 x = S.bmap(S.scatter_sum_into, (0, 0, 0))(up, inputs[i], lat_idx)
                 # prune by the coarser head's max-cls score, interpolated at
-                # this level's coords (fcaf3d_head.py:1091-1114)
-
-                score = S.interpolate_trilinear_b(
-                    S.SparseTensor(pcoords, pscores[..., None], pm),
-                    x.coords.astype(jnp.float32) / 2.0, x.mask,
-                    interp_idx)[..., 0]
+                # this level's coords (fcaf3d_head.py:1091-1114); per-parent
+                # corner gathers + static trilinear matmul (fpn_prune_scores)
+                score = fpn_prune_scores(pscores, pm, corner_idx, x.mask)
                 keep = min(self.pts_prune_threshold, self.fpn_capacities[i])
                 x = S.btopk_select(x, score, keep)
 

@@ -75,7 +75,9 @@ def point_image_sample(points: jax.Array, point_mask: jax.Array,
         xi = jnp.clip(xi, 0, wf - 1)
         idx = vbase + yi * wf + xi  # (V, N)
         n = idx.shape[1]
-        return flat[idx.reshape(-1)].reshape(v, n, c)
+        # gather in the feature dtype (bf16 rows are half the bytes), then
+        # upcast — exact for bf16->f32; view-mean accumulates in f32
+        return flat[idx.reshape(-1)].reshape(v, n, c).astype(jnp.float32)
 
     if mode == 'nearest':
         sampled = gather(jnp.round(yf).astype(jnp.int32),
@@ -88,7 +90,7 @@ def point_image_sample(points: jax.Array, point_mask: jax.Array,
 
         def inb(yi, xi):
             return ((yi >= 0) & (yi < hf) & (xi >= 0) &
-                    (xi < wf)).astype(img_feats.dtype)[..., None]
+                    (xi < wf)).astype(jnp.float32)[..., None]
 
         sampled = (
             gather(y0, x0) * inb(y0, x0) * (1 - tx) * (1 - ty) +
@@ -176,7 +178,10 @@ def point_image_sample_batched(points: jax.Array, point_mask: jax.Array,
                 gather_rows(flat, idx[i * csz:(i + 1) * csz])
                 for i in range(nch)
             ])
-        return out.reshape(bi, s, v, n, c)
+        # upcast AFTER the gather: bf16 feature rows move half the bytes
+        # through the gather (and its segment-sum backward accumulates in
+        # f32 regardless — ops/segment.py); bf16->f32 is exact
+        return out.reshape(bi, s, v, n, c).astype(jnp.float32)
 
     if mode == 'nearest':
         sampled = gather(jnp.round(yf).astype(jnp.int32),
@@ -189,7 +194,7 @@ def point_image_sample_batched(points: jax.Array, point_mask: jax.Array,
 
         def inb(yi, xi):
             return ((yi >= 0) & (yi < hf) & (xi >= 0) &
-                    (xi < wf)).astype(img_feats.dtype)[..., None]
+                    (xi < wf)).astype(jnp.float32)[..., None]
 
         sampled = (
             gather(y0, x0) * inb(y0, x0) * (1 - tx) * (1 - ty) +

@@ -32,7 +32,8 @@ from ..ops.hungarian import auction_match, hungarian_match
 from .fcaf3d import _CLS_BIAS
 from .losses import bbox_cd_loss, bbox_to_corners
 from .norm import MaskedBatchNorm
-from .sparse_nn import SparseConv, bneighbor_table, fpn_tables
+from .sparse_nn import (SparseConv, bneighbor_table, fpn_prune_scores,
+                        fpn_tables)
 from .text import TextEncoder
 from .trunk import STRIDES, SparseFusionTrunk
 
@@ -81,19 +82,12 @@ class MinkNeck(nn.Module):
                 pcoords, pscores, pm, pnbr = prune_level
                 # per-level tables derived from the coarse 27-table, no
                 # merged sort (see fpn_tables)
-                nbr_u, lat_idx, interp_idx = fpn_tables(
+                nbr_u, lat_idx, corner_idx = fpn_tables(
                     pnbr, pcoords, pm, inputs[i])
                 up = self._up_rest(up, self.in_channels[i], train,
                                    f'up_block_{i + 1}', nbr_u)
                 x = S.bmap(S.scatter_sum_into, (0, 0, 0))(up, inputs[i], lat_idx)
-
-                def interp(pc, ps, pm_, qc, qm, idx):
-                    st = S.SparseTensor(pc, ps[:, None], pm_)
-                    return S.interpolate_trilinear(
-                        st, qc.astype(jnp.float32) / 2.0, qm, idx=idx)[:, 0]
-
-                score = jax.vmap(interp)(pcoords, pscores, pm, x.coords,
-                                         x.mask, interp_idx)
+                score = fpn_prune_scores(pscores, pm, corner_idx, x.mask)
                 keep = min(self.pts_prune_threshold, self.fpn_capacities[i])
                 x = S.btopk_select(x, score, keep)
             # out block: conv3 -> BN -> ELU to out_channels

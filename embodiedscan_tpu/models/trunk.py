@@ -90,7 +90,9 @@ class SparseFusionTrunk(nn.Module):
         for i, lvl in enumerate(levels):
             f2d = feats2d[i]
             hf, wf, c2 = f2d.shape[1:]
-            f2d = f2d.reshape(bi, v, hf, wf, c2).astype(jnp.float32)
+            # keep the feature dtype (bf16 image branch): the fusion gather
+            # moves half the bytes and upcasts to f32 AFTER sampling
+            f2d = f2d.reshape(bi, v, hf, wf, c2)
             world = lvl.coords.astype(jnp.float32) * (STRIDES[i] *
                                                       self.voxel_size)
             n = world.shape[1]

@@ -71,14 +71,12 @@ def test_structured_tables_match_bruteforce(mode):
             for k, off in enumerate(S.OFFSETS_3):
                 want = child_of.get(tuple(uc[r] + off), -1)
                 assert nbr[i, r, k] == want, (i, r, k)
-        # prune-interp corners: the 8 trilinear corners of c/2 are p + b'
-        # in the COARSE lattice for every child of p
+        # prune-interp corners, PER PARENT: the 8 trilinear corners of c/2
+        # are p + b' in the COARSE lattice for every child c = 2p + b
         parent_of = {tuple(c): r for r, c in enumerate(pc) if pm[r]}
-        for r in np.where(cm)[0][::7]:
-            q = uc[r].astype(np.float64) / 2.0
-            base = np.floor(q).astype(np.int64)
+        for r in np.where(pm)[0]:
             for j, d in enumerate(S.OFFSETS_2):
-                want = parent_of.get(tuple(base + d), -1)
+                want = parent_of.get(tuple(pc[r] + d), -1)
                 assert itp[i, r, j] == want, (i, r, j)
         # lateral match
         lc = np.asarray(lateral.coords[i])
@@ -86,6 +84,27 @@ def test_structured_tables_match_bruteforce(mode):
         for t in range(lc.shape[0]):
             want = child_of.get(tuple(lc[t]), -1) if lm[t] else -1
             assert lat[i, t] == want, (i, t)
+
+
+def test_prune_scores_match_trilinear_interp():
+    """fpn_prune_scores (per-parent corners + static weight matmul) must
+    equal interpolate_trilinear_b at the children lattice."""
+    from embodiedscan_tpu.models.sparse_nn import fpn_prune_scores
+    rng = np.random.RandomState(7)
+    xc, up, _ = _coarse_and_children(seed=7)
+    pscores = jnp.asarray(rng.randn(B, P).astype(np.float32))
+    pnbr = bneighbor_table(xc, S.OFFSETS_3)
+    corner_cols = np.array([np.flatnonzero(
+        (S.OFFSETS_3 == d).all(-1))[0] for d in S.OFFSETS_2])
+    corner_idx = np.asarray(pnbr)[:, :, corner_cols]
+    got = fpn_prune_scores(pscores, xc.mask, jnp.asarray(corner_idx),
+                           up.mask)
+    idx8 = jnp.repeat(jnp.asarray(corner_idx), 8, axis=1)  # per-child
+    want = S.interpolate_trilinear_b(
+        S.SparseTensor(xc.coords, pscores[..., None], xc.mask),
+        up.coords.astype(jnp.float32) / 2.0, up.mask, idx8)[..., 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_end_to_end_fpn_values_finite_and_mode_stable():
