@@ -142,6 +142,11 @@ def run_task(task: str):
         cfg.model.text_layers = 12
         cfg.model.text_hidden = 768
         cfg.model.text_heads = 12
+        # the axon TPU backend has no host-callback support, and the
+        # on-device eps-optimal auction matcher is the designed TPU path
+        # anyway (ops/hungarian.py); scipy callback stays the CPU/parity
+        # default
+        cfg.model.matcher = 'auction'
     if 'BENCH_BMAP' in os.environ:
         from embodiedscan_tpu.ops import sparse as _SS
         _SS.set_bmap_mode(os.environ['BENCH_BMAP'])

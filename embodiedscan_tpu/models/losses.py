@@ -125,13 +125,10 @@ def rotated_iou_loss(pred: jax.Array, target: jax.Array,
     ``diff_iou_rotated_3d``; differentiable through the clip construction.
     Boxes with fewer than 9 dims are padded with zero euler angles.
     """
-    from ..geometry.iou import _pair_intersection_volume, boxes7d_to_9d
+    from ..geometry.iou import boxes3d_overlap_paired, boxes7d_to_9d
     p9 = boxes7d_to_9d(pred)
     t9 = boxes7d_to_9d(target)
-    vol = jax.vmap(_pair_intersection_volume)(p9, t9)
-    vp = jnp.abs(p9[:, 3] * p9[:, 4] * p9[:, 5])
-    vt = jnp.abs(t9[:, 3] * t9[:, 4] * t9[:, 5])
-    iou = vol / jnp.clip(vp + vt - vol, min=1e-8)
+    _, iou = boxes3d_overlap_paired(p9, t9)
     loss = jnp.where(valid, 1.0 - iou, 0.0)
     return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1)
 

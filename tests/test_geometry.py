@@ -247,6 +247,48 @@ class TestIoU:
         want_vol = 2 * (np.sqrt(2) - 1)
         np.testing.assert_allclose(np.asarray(vol), [[want_vol]], atol=1e-3)
 
+    def test_soa_kernel_matches_aos_oracle(self):
+        """The shipping SoA overlap kernel (slot-unrolled, pair axis on
+        lanes) must match the per-pair AoS formulation it replaced."""
+        rng = np.random.RandomState(3)
+        n, m = 7, 9
+        mk = lambda k: np.concatenate([
+            rng.uniform(-2, 2, (k, 3)), rng.uniform(0.2, 3.0, (k, 3)),
+            rng.uniform(-np.pi, np.pi, (k, 3))
+        ], -1).astype(np.float32)
+        b1, b2 = jnp.asarray(mk(n)), jnp.asarray(mk(m))
+        vol, iou = IOU.boxes3d_overlap(b1, b2)
+        pair = jax.vmap(jax.vmap(IOU._pair_intersection_volume, (None, 0)),
+                        (0, None))
+        want = np.asarray(pair(b1, b2))
+        np.testing.assert_allclose(np.asarray(vol), want,
+                                   rtol=1e-4, atol=1e-5)
+        # paired variant consistent with the diagonal of the pairwise call
+        vp, ip = IOU.boxes3d_overlap_paired(b1, b1)
+        np.testing.assert_allclose(np.asarray(ip), np.ones(n), atol=1e-3)
+        vp, _ = IOU.boxes3d_overlap_paired(b1[:5], b2[:5])
+        np.testing.assert_allclose(
+            np.asarray(vp), np.asarray(vol)[np.arange(5), np.arange(5)],
+            rtol=1e-4, atol=1e-5)
+        # differentiable: finite grads through the clip construction
+        g = jax.grad(lambda a: IOU.boxes3d_overlap_paired(
+            a, b2[:n])[1].sum())(b1)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_soa_kernel_degenerate_boxes(self):
+        """Zero-size and touching boxes: no NaNs, correct zero overlaps."""
+        b1 = jnp.asarray([[0.0, 0, 0, 0, 0, 0, 0.2, 0.1, 0],    # zero dims
+                          [0.0, 0, 0, 1, 1, 1, 0, 0, 0],
+                          [0.0, 0, 0, 1, 1, 1, 0, 0, 0]])
+        b2 = jnp.asarray([[0.0, 0, 0, 1, 1, 1, 0, 0, 0],
+                          [1.0, 0, 0, 1, 1, 1, 0, 0, 0],        # touching
+                          [0.0, 0, 0, 1e-5, 1e-5, 1e-5, 0, 0, 0]])
+        vol, iou = IOU.boxes3d_overlap(b1, b2)
+        assert np.isfinite(np.asarray(vol)).all()
+        assert np.isfinite(np.asarray(iou)).all()
+        assert np.asarray(vol)[0, 0] <= 1e-5    # degenerate -> ~0
+        assert np.asarray(iou)[1, 1] <= 5e-3    # face-touching -> ~0
+
     def test_axis_aligned_iou3d_helper(self):
         b1 = jnp.asarray([[0.0, 0, 0, 2, 2, 2]])
         b2 = jnp.asarray([[1.0, 1, 1, 3, 3, 3]])
