@@ -135,3 +135,95 @@ class TestGrounder:
         assert preds['scores'].shape == (2, 16)
         assert np.isfinite(np.asarray(preds['bboxes'])).all()
         assert (np.asarray(preds['scores']) >= 0).all()
+
+
+class TestGrounderRobertaPath:
+    """End-to-end grounder on the REAL text stack (VERDICT r3 §2b partial):
+    arch='roberta' (the HF Flax module, tiny dims), real byte-level-BPE
+    tokenization from the committed fixture vocab, and torch RoBERTa weights
+    merged through ``load_roberta_into_variables`` — the exact path a user
+    takes to reproduce the reference's frozen text encoder
+    (sparse_featfusion_grounder.py:107-116) from downloaded weights."""
+
+    MAX_LEN = 24
+
+    @pytest.fixture(scope='class')
+    def setup(self):
+        import json
+        import os
+
+        from embodiedscan_tpu.models.text import HFTokenizer, get_tokenizer
+        fixdir = os.path.join(os.path.dirname(__file__), 'fixtures',
+                              'roberta_tok')
+        with open(os.path.join(fixdir, 'recorded.json')) as f:
+            rec = json.load(f)
+        tok = get_tokenizer(fixdir, max_len=self.MAX_LEN)
+        assert isinstance(tok, HFTokenizer)  # no silent hash fallback
+        rng = np.random.RandomState(0)
+        b, g = 2, 3
+        batch = tiny_batch(rng, b=b, g=g)
+        texts = rec['prompts'][:b]
+        enc = tok(texts)
+        # span = each prompt's first word pair ("the red", "a small")
+        spans = [[[[0, 7]], [[0, 3]], [[4, 7]]] for _ in range(b)]
+        maps = build_positive_maps(tok, texts, spans, self.MAX_LEN, g)
+        assert maps.sum() > 0  # real spans resolved through HF offsets
+        batch['text_ids'] = jnp.asarray(enc['input_ids'])
+        batch['text_mask'] = jnp.asarray(enc['attention_mask'])
+        batch['positive_maps'] = jnp.asarray(maps)
+        model = SparseFusionGrounder(
+            num_queries=16,
+            voxel_size=0.05,
+            max_text_len=self.MAX_LEN,
+            embed_dims=32,
+            num_decoder_layers=2,
+            input_capacity=512,
+            backbone_capacities=(512, 256, 256, 128, 64, 32),
+            fpn_capacities=(64, 64, 32, 32),
+            resnet_depth=18,
+            mink_depth=18,
+            text_arch='roberta',
+            text_layers=2,
+            text_hidden=32,
+            text_heads=4)
+        from helpers import jit_init
+        return model, jit_init(model, batch), batch
+
+    @pytest.fixture(scope='class')
+    def loaded_vars(self, setup):
+        import torch
+        from transformers import RobertaConfig, RobertaModel
+
+        from embodiedscan_tpu.utils.convert_weights import \
+            load_roberta_into_variables
+        _, variables, _ = setup
+        cfg = RobertaConfig(vocab_size=30522, hidden_size=32,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            intermediate_size=128,
+                            max_position_embeddings=514, type_vocab_size=1,
+                            pad_token_id=1)
+        torch.manual_seed(0)
+        net = RobertaModel(cfg, add_pooling_layer=False).eval()
+        sd = {k: v.numpy() for k, v in net.state_dict().items()}
+        # bare RobertaModel dump (the reference checkpoint nests it under
+        # 'text_encoder.'; HF downloads do not)
+        return load_roberta_into_variables(variables, sd, src_prefix='')
+
+    def test_torch_weights_merge_fully(self, setup, loaded_vars):
+        _, variables, _ = setup
+        _, loaded, skipped = loaded_vars
+        assert not skipped, skipped[:8]
+        rob = variables['params']['text_encoder']['FlaxRobertaModule_0']
+        n_rob = len(jax.tree_util.tree_leaves(rob))
+        assert loaded == n_rob and loaded > 0
+
+    def test_loss_and_grads_finite_with_loaded_weights(self, setup,
+                                                       loaded_vars):
+        model, _, batch = setup
+        variables = loaded_vars[0]
+        from helpers import jit_losses_and_grads
+        _, losses, grads = jit_losses_and_grads(model, variables, batch)
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), k
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in flat)
