@@ -25,7 +25,7 @@ BASELINE_SCENES_PER_SEC = 2.5  # est. A100 per-GPU mv-det3d (BASELINE.md)
 TASK_BASELINE_SCENES_PER_SEC = {
     'mv_grounding': 7.5,   # 2.5 x (12/4): reference fit b=12/GPU (8xb12)
     'mv_occ': 0.625,       # 2.5 x (1/4):  reference fit b=1/GPU  (8xb1)
-    'cont_det': 0.625,     # 8xb1 sweeps share the occ batch capacity
+    'cont_det3d': 0.625,   # 8xb1 sweeps share the occ batch capacity
     'cont_occ': 0.625,
 }
 
@@ -142,6 +142,11 @@ def run_task(task: str):
         cfg.model.text_layers = 12
         cfg.model.text_hidden = 768
         cfg.model.text_heads = 12
+        # remat trades FLOPs for memory; at the bench batch sizes the v5e
+        # chip has headroom, so recompute is pure overhead (PERF.md ladder:
+        # same call for detection at b=1)
+        if cfg.data.batch_size <= 2:
+            cfg.model.remat = 'none'
         # the axon TPU backend has no host-callback support, and the
         # on-device eps-optimal auction matcher is the designed TPU path
         # anyway (ops/hungarian.py); scipy callback stays the CPU/parity

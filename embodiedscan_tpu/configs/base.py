@@ -47,6 +47,10 @@ class ScheduleConfig:
     milestones: Sequence[int] = (8, 11)
     gamma: float = 0.1
     val_interval: int = 1
+    # reference global batch the preset's lr was tuned at (8 GPUs x per-GPU
+    # batch from the 8xbN config name) — the --auto-scale-lr denominator
+    # (reference tools/train.py:98-109 / mmengine auto_scale_lr)
+    base_batch_size: int = 32
 
 
 @dataclasses.dataclass
@@ -114,6 +118,10 @@ class ModelConfig:
     # Hungarian matcher (grounding): 'hungarian' (scipy callback, reference
     # parity) | 'auction' (on-device)
     matcher: str = 'hungarian'
+    # grounding box coder: 'baseline' | 'FCAF' (grounding_head.py:279-362)
+    box_coder: str = 'baseline'
+    # freeze the text trunk (reference lr_mult=0, mv-grounding...py:199)
+    freeze_text: bool = True
     # occupancy
     occ_classes: int = 81
     n_voxels: Sequence[int] = (40, 40, 16)
@@ -163,7 +171,9 @@ def cont_det3d() -> Config:
     cfg = Config()
     cfg.model.task = 'cont_det3d'
     cfg.data.batch_size = 1
-    cfg.data.n_views_train = 8
+    # 10 train sweeps (cont-det3d...py:138 n_images=10)
+    cfg.data.n_views_train = 10
+    cfg.schedule.base_batch_size = 8  # 8xb1
     cfg.work_dir = 'work_dirs/cont_det3d'
     return cfg
 
@@ -174,9 +184,15 @@ def mv_grounding() -> Config:
     cfg.model.task = 'mv_grounding'
     cfg.model.fpn_capacities = (1024, 1024, 1024, 2048)
     cfg.data.batch_size = 12
+    # VG prompts target a handful of instances (the reference pads ragged
+    # per-batch, mv_3dvg_dataset.py joins one prompt's targets); 64 bounds
+    # every published prompt family while keeping the Q x G match-cost /
+    # auction tensors 3x smaller than the detection cap of 200
+    cfg.data.max_boxes = 64
     cfg.data.vg_file = 'embodiedscan_train_vg.json'
     cfg.schedule.lr = 5e-4
     cfg.schedule.weight_decay = 5e-4
+    cfg.schedule.base_batch_size = 96  # 8xb12
     cfg.work_dir = 'work_dirs/mv_grounding'
     return cfg
 
@@ -190,6 +206,7 @@ def mv_occ() -> Config:
     cfg.data.n_views_test = 20
     cfg.schedule.max_epochs = 24
     cfg.schedule.milestones = (16, 22)
+    cfg.schedule.base_batch_size = 8  # 8xb1
     cfg.work_dir = 'work_dirs/mv_occ'
     return cfg
 
@@ -264,7 +281,9 @@ def build_model(cfg: Config):
             text_layers=m.text_layers,
             text_hidden=m.text_hidden,
             text_heads=m.text_heads,
+            freeze_text=m.freeze_text,
             matcher=m.matcher,
+            box_coder=m.box_coder,
             remat=m.remat)
     if m.task in ('mv_occ', 'cont_occ'):
         from ..models.occupancy import DenseFusionOccPredictor

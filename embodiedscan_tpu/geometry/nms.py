@@ -14,23 +14,31 @@ from .iou import boxes3d_iou, boxes7d_to_9d
 
 
 def nms3d(boxes: jax.Array, scores: jax.Array, mask: jax.Array,
-          iou_thr: float, labels: jax.Array | None = None):
+          iou_thr: float, labels: jax.Array | None = None,
+          presorted: bool = False):
     """Greedy NMS over (K, 7) yaw boxes (or (K, 9): yaw-only IoU is used).
 
     Args:
         boxes: (K, >=7) candidate boxes.
         scores: (K,) scores; mask: (K,) validity.
         labels: optional (K,) int class ids — suppression only within a class.
+        presorted: caller guarantees score-descending order (valid rows
+            first) — skips the argsort, which would otherwise become a
+            batched sort under vmap (PERF.md hardware table).
 
     Returns:
         (order, keep): ``order`` (K,) score-descending indices into the input,
         ``keep`` (K,) bool mask *in sorted order*.
     """
     k = boxes.shape[0]
-    neg = jnp.finfo(scores.dtype).min
-    order = jnp.argsort(jnp.where(mask, -scores, -neg))
-    b = boxes[order]
-    m = mask[order]
+    if presorted:
+        order = jnp.arange(k, dtype=jnp.int32)
+        b, m = boxes, mask
+    else:
+        neg = jnp.finfo(scores.dtype).min
+        order = jnp.argsort(jnp.where(mask, -scores, -neg))
+        b = boxes[order]
+        m = mask[order]
     # yaw-only IoU like mmcv nms3d: zero out pitch/roll
     b9 = boxes7d_to_9d(b[:, :7])
     iou = boxes3d_iou(b9, b9)

@@ -189,6 +189,32 @@ def decode_baseline(points, pred):
     return jnp.concatenate([center, size, euler], -1)
 
 
+def decode_fcaf(points, pred):
+    """'FCAF' box coder (grounding_head.py:310-362), 9-dim variant.
+
+    ``pred[..., :6]`` are log distances to the 6 faces (exp'd and clamped),
+    ``pred[..., 6:9]`` the euler angles; the center shift is the face-distance
+    asymmetry rotated into the box frame (rotation_3d_in_euler).
+    """
+    from ..geometry.rotations import rotation_3d_in_euler
+    d = jnp.clip(jnp.exp(pred[..., :6]), min=2e-2)
+    euler = pred[..., 6:9]
+    shift = jnp.stack([(d[..., 1] - d[..., 0]) / 2,
+                       (d[..., 3] - d[..., 2]) / 2,
+                       (d[..., 5] - d[..., 4]) / 2], -1)
+    flat_shift = shift.reshape(-1, 1, 3)
+    flat_euler = euler.reshape(-1, 3)
+    shift = rotation_3d_in_euler(flat_shift, flat_euler)[:, 0, :].reshape(
+        shift.shape)
+    center = points + shift
+    size = jnp.stack([d[..., 0] + d[..., 1], d[..., 2] + d[..., 3],
+                      d[..., 4] + d[..., 5]], -1)
+    return jnp.concatenate([center, size, euler], -1)
+
+
+_BOX_CODERS = {'baseline': decode_baseline, 'FCAF': decode_fcaf}
+
+
 class ContrastiveEmbed(nn.Module):
     """visual . text^T with 'auto' scale + learnable bias (grounding_head.py:22)."""
 
@@ -241,6 +267,9 @@ class SparseFusionGrounder(nn.Module):
     text_layers: int = 12
     text_hidden: int = 768
     text_heads: int = 12
+    # reference: text encoder frozen via lr_mult=0 (mv-grounding...py:199);
+    # expressed as a stop_gradient so no backward is built for the trunk
+    freeze_text: bool = True
     # loss cfg (configs/grounding/mv-grounding...py:63-92)
     decouple_weights: Sequence[float] = (0.2, 0.2, 0.2, 0.4)
     cost_cls_weight: float = 1.0
@@ -249,6 +278,9 @@ class SparseFusionGrounder(nn.Module):
     # 'hungarian' = scipy host callback (bit-parity with the reference);
     # 'auction' = on-device eps-optimal matcher (no host round trip)
     matcher: str = 'hungarian'
+    # 'baseline' (published configs) | 'FCAF' (grounding_head.py:279-362
+    # config surface)
+    box_coder: str = 'baseline'
     # rematerialization mode for the trunk ('none'|'2d'|'3d'|'all')
     remat: str = 'none'
 
@@ -268,7 +300,8 @@ class SparseFusionGrounder(nn.Module):
                                         arch=self.text_arch,
                                         layers=self.text_layers,
                                         hidden=self.text_hidden,
-                                        heads=self.text_heads)
+                                        heads=self.text_heads,
+                                        frozen=self.freeze_text)
         self.layers = [
             DecoderLayer(self.embed_dims, name=f'layer{i}')
             for i in range(self.num_decoder_layers)
@@ -296,9 +329,9 @@ class SparseFusionGrounder(nn.Module):
         query = take(feats, top)
         query_coords = take(xyz, top)
         query_mask = take(mask, top)
+        decode = _BOX_CODERS[self.box_coder]
         reg0 = self.reg_branch(query)
-        pred_bboxes = jax.lax.stop_gradient(
-            decode_baseline(query_coords, reg0))
+        pred_bboxes = jax.lax.stop_gradient(decode(query_coords, reg0))
 
         key_pos = self.cross_posembed(xyz, mask, train)
         all_cls, all_boxes = [], []
@@ -307,7 +340,7 @@ class SparseFusionGrounder(nn.Module):
             query = layer(query, query_pos, query_mask, feats, key_pos, mask,
                           text_feats, text_mask)
             reg = self.reg_branch(query)
-            new_boxes = decode_baseline(query_coords, reg)
+            new_boxes = decode(query_coords, reg)
             pred_bboxes = jax.lax.stop_gradient(new_boxes)
             normed = self.decoder_norm(query)
             all_cls.append(self.cls_embed(normed, text_feats, text_mask))
@@ -392,18 +425,23 @@ class SparseFusionGrounder(nn.Module):
             scores = jnp.where(outs.query_mask, scores, 0)
             return dict(bboxes=outs.boxes[-1], scores=scores,
                         mask=outs.query_mask)
-        # loss over all decoder layers
+        # loss over all decoder layers, batched over the layer axis: one
+        # matcher invocation and ONE exact-IoU cost kernel over L*B*Q*G pairs
+        # instead of num_decoder_layers sequential calls (the reference loops
+        # layers in python, grounding_head.py:640-652)
         pos_maps = batch['positive_maps']
         gt_boxes, gt_mask = batch['gt_boxes'], batch['gt_mask']
+        cls_ls, bbox_ls, _ = jax.vmap(
+            self.loss_single_layer,
+            in_axes=(0, 0, None, None, None, None, None))(
+                outs.cls, outs.boxes, outs.query_mask, text_mask, pos_maps,
+                gt_boxes, gt_mask)
         losses = {}
         for li in range(self.num_decoder_layers):
-            cls_l, bbox_l, _ = self.loss_single_layer(
-                outs.cls[li], outs.boxes[li], outs.query_mask, text_mask,
-                pos_maps, gt_boxes, gt_mask)
             if li == self.num_decoder_layers - 1:
-                losses['loss_cls'] = cls_l
-                losses['loss_bbox'] = bbox_l
+                losses['loss_cls'] = cls_ls[li]
+                losses['loss_bbox'] = bbox_ls[li]
             else:
-                losses[f'd{li}.loss_cls'] = cls_l
-                losses[f'd{li}.loss_bbox'] = bbox_l
+                losses[f'd{li}.loss_cls'] = cls_ls[li]
+                losses[f'd{li}.loss_bbox'] = bbox_ls[li]
         return losses

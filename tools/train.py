@@ -28,6 +28,11 @@ def main():
                              'vars alone cannot switch to CPU')
     parser.add_argument('--synthetic', action='store_true',
                         help='use the synthetic fixture dataset')
+    parser.add_argument('--auto-scale-lr', action='store_true',
+                        help='linearly scale lr by global_batch / '
+                             'schedule.base_batch_size (the reference '
+                             'tools/train.py:98-109 / mmengine '
+                             'auto_scale_lr rule)')
     parser.add_argument('--multihost', action='store_true',
                         help='initialize jax.distributed (one process per '
                              'host; slurm/GKE/TPU-pod auto-detected) — the '
@@ -54,6 +59,14 @@ def main():
         cfg.resume = args.resume
     if args.synthetic:
         cfg.data.synthetic = True
+    if args.auto_scale_lr:
+        import jax
+        global_batch = cfg.data.batch_size * (
+            jax.process_count() if args.multihost else 1)
+        scale = global_batch / cfg.schedule.base_batch_size
+        cfg.schedule.lr = cfg.schedule.lr * scale
+        print(f'auto-scale-lr: global_batch={global_batch} '
+              f'base={cfg.schedule.base_batch_size} -> lr={cfg.schedule.lr}')
 
     from embodiedscan_tpu.train.loop import train
     train(cfg, max_steps=args.max_steps)
