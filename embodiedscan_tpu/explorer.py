@@ -3,8 +3,9 @@
 Equivalent of the reference ``embodiedscan/explorer.py:18-566`` without the
 open3d dependency: scene listing/counting, scene rendering (point cloud +
 9-DoF boxes -> PLY / image files), occupancy rendering, and per-view image
-drawing. Rendering artifacts are files (PLY/PNG) instead of interactive
-windows — suitable for the headless TPU environment.
+drawing. Rendering artifacts are files (PLY/PNG, or a self-contained
+interactive HTML viewer when the output path ends in ``.html`` — the
+headless stand-in for the reference's ``draw_geometries`` window).
 """
 
 import os
@@ -73,8 +74,15 @@ class EmbodiedScanExplorer:
             pts_list.append(pl.point_sample(pts, max_points_per_view, rng))
             exts.append(view['extrinsic'])
         points = pl.aggregate_points(pts_list, exts)
-        export_scene_ply(out_path, points, scan['gt_boxes'],
-                         scan['gt_labels'])
+        if out_path.endswith('.html'):
+            # interactive single-file viewer (open3d draw_geometries analog)
+            from .vis.html_viewer import export_scene_html
+            export_scene_html(out_path, points, scan['gt_boxes'],
+                              scan['gt_labels'],
+                              class_names=self.list_categories() or None)
+        else:
+            export_scene_ply(out_path, points, scan['gt_boxes'],
+                             scan['gt_labels'])
         return out_path
 
     def render_occupancy(self, occ: np.ndarray, out_path: str,

@@ -50,6 +50,50 @@ class TestVis:
         assert len(fb) == 2  # duplicate suppressed
 
 
+class TestHtmlViewer:
+    """Interactive single-file viewer + LineMesh parity (SURVEY §2a #57)."""
+
+    def test_export_scene_html(self, tmp_path):
+        from embodiedscan_tpu.vis.html_viewer import export_scene_html
+        rng = np.random.RandomState(0)
+        pts = rng.randn(500, 3).astype(np.float32)
+        boxes = np.array([[0, 0, 0, 1, 1, 1, 0.3, 0, 0],
+                          [2, 0, 0, 1, 2, 1, 0, 0, 0]], np.float32)
+        out = str(tmp_path / 'scene.html')
+        export_scene_html(out, pts, boxes, np.array([1, 3]),
+                          class_names=['a', 'b', 'c', 'd'])
+        text = open(out).read()
+        assert text.startswith('<!DOCTYPE html>')
+        assert '"boxes"' in text and '"legend"' in text
+        # both class names land in the embedded legend
+        assert '"b"' in text and '"d"' in text
+        # self-contained: no external scripts or network fetches
+        assert 'http' not in text and 'src=' not in text
+
+    def test_export_scene_html_subsamples(self, tmp_path):
+        from embodiedscan_tpu.vis.html_viewer import export_scene_html
+        pts = np.zeros((5000, 3), np.float32)
+        out = str(tmp_path / 'big.html')
+        export_scene_html(out, pts, max_points=100)
+        import json
+        import re
+        scene = json.loads(
+            re.search(r'const SCENE = (\{.*?\});\n', open(out).read(),
+                      re.S).group(1))
+        assert len(scene['points']) == 100
+
+    def test_boxes_line_mesh(self, tmp_path):
+        from embodiedscan_tpu.vis.html_viewer import (
+            export_boxes_line_mesh_ply)
+        boxes = np.array([[0, 0, 0, 1, 1, 1, 0.2, 0.1, 0]], np.float32)
+        out = str(tmp_path / 'lines.ply')
+        export_boxes_line_mesh_ply(out, boxes, np.array([1]))
+        text = open(out).read()
+        # 12 edges x 8 prism vertices / x 8 triangles
+        assert 'element vertex 96' in text
+        assert 'element face 96' in text
+
+
 class TestExplorer:
 
     def test_explorer_api(self, tmp_path, fake_data):
