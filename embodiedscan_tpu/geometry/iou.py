@@ -280,12 +280,15 @@ def _axis_overlap_bound(a: jax.Array, b: jax.Array) -> jax.Array:
     ha, hb = a[:, 3:6] / 2, b[:, 3:6] / 2
 
     def frame_bound(axes, c_own, h_own, r_other, c_other, h_other):
-        # axes: (B, 3, 3) columns; project both boxes onto each column
-        p_own = jnp.einsum('bc,bci->bi', c_own, axes)         # (B, 3)
-        p_oth = jnp.einsum('bc,bci->bi', c_other, axes)
+        # axes: (B, 3, 3) columns; project both boxes onto each column.
+        # Spelled as broadcast-mul-sum, NOT einsum: (B, 3, 3) dot_generals
+        # scalarize on TPU (traced 7 GB/s); these are VPU elementwise ops.
+        p_own = jnp.sum(c_own[:, :, None] * axes, axis=1)     # (B, 3)
+        p_oth = jnp.sum(c_other[:, :, None] * axes, axis=1)
         # support half-width of the other box along each axis
-        dots = jnp.abs(jnp.einsum('bci,bcj->bij', axes, r_other))  # (B,3,3)
-        w_oth = jnp.einsum('bij,bj->bi', dots, h_other)
+        dots = jnp.abs(jnp.sum(axes[:, :, :, None] * r_other[:, :, None, :],
+                               axis=1))                        # (B, 3, 3)
+        w_oth = jnp.sum(dots * h_other[:, None, :], axis=-1)
         hi = jnp.minimum(p_own + h_own, p_oth + w_oth)
         lo = jnp.maximum(p_own - h_own, p_oth - w_oth)
         return jnp.prod(jnp.clip(hi - lo, min=0.0), axis=-1)
@@ -349,6 +352,41 @@ def boxes3d_overlap(boxes1: jax.Array, boxes2: jax.Array):
     union = v1[:, None] + v2[None, :] - vol
     iou = vol / jnp.clip(union, min=1e-8)
     return vol, iou
+
+
+@functools.partial(jax.jit, static_argnames=('capacity',))
+@f32_matmuls
+def paired_iou_pruned(boxes1: jax.Array, boxes2: jax.Array,
+                      capacity: int) -> jax.Array:
+    """Exact IoU of aligned box pairs with SAT pruning: (P, 9) x 2 -> (P,).
+
+    Match-cost IoU profile: of the L*B*Q*G candidate pairs the Hungarian
+    cost needs, almost all have ZERO overlap (queries sit across the room
+    from the GT). :func:`_axis_overlap_bound` is an upper bound on the
+    intersection volume at ~1% of the clip kernel's cost, so pairs whose
+    bound is 0 are exactly IoU 0 without clipping. This kernel computes the
+    bound for every pair, runs the exact Sutherland-Hodgman kernel only on
+    the ``capacity`` pairs with the largest bounds (one flat argsort each
+    way — never a sort under vmap), and fills the rest with the exact value
+    0. Only approximate when more than ``capacity`` pairs truly overlap, in
+    which case the smallest-bound pairs are dropped.
+
+    Intended for no-grad costs (matching); the sorts have no useful VJP.
+    """
+    p = boxes1.shape[0]
+    v1 = jnp.abs(boxes1[:, 3] * boxes1[:, 4] * boxes1[:, 5])
+    v2 = jnp.abs(boxes2[:, 3] * boxes2[:, 4] * boxes2[:, 5])
+    if capacity >= p:
+        vol = _intersection_volume_flat(boxes1, boxes2)
+        return vol / jnp.clip(v1 + v2 - vol, min=1e-8)
+    bound = _axis_overlap_bound(boxes1, boxes2)
+    order = jnp.argsort(-bound)  # descending bound, stable
+    sel = order[:capacity]
+    vol_sel = _intersection_volume_flat(boxes1[sel], boxes2[sel])
+    padded = jnp.concatenate(
+        [vol_sel, jnp.zeros((p - capacity,), vol_sel.dtype)])
+    vol = padded[jnp.argsort(order)]
+    return vol / jnp.clip(v1 + v2 - vol, min=1e-8)
 
 
 @functools.partial(jax.jit, static_argnames=())

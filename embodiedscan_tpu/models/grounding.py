@@ -275,6 +275,10 @@ class SparseFusionGrounder(nn.Module):
     cost_cls_weight: float = 1.0
     cost_l1_weight: float = 2.0
     cost_iou_weight: float = 2.0
+    # pairs given to the exact clip kernel in the match cost; 0 = auto
+    # (max(2048, total_pairs // 8)). Pairs beyond the SAT-bound top-cap are
+    # exactly zero-IoU unless more than cap pairs truly overlap.
+    iou_cost_capacity: int = 0
     # 'hungarian' = scipy host callback (bit-parity with the reference);
     # 'auction' = on-device eps-optimal matcher (no host round trip)
     matcher: str = 'hungarian'
@@ -349,18 +353,17 @@ class SparseFusionGrounder(nn.Module):
                                 query_mask), text_mask
 
     def loss_single_layer(self, cls, boxes, query_mask, text_mask, pos_maps,
-                          gt_boxes, gt_mask):
+                          gt_boxes, gt_mask, cost_iou):
         """One decoder layer's loss over the batch (grounding_head.py:686)."""
 
-        def assign(cls_i, boxes_i, qm_i, tm_i, maps_i, gt_i, gm_i):
-            from .match_costs import bbox3d_l1_cost, iou3d_cost
+        def assign(cls_i, boxes_i, qm_i, tm_i, maps_i, gt_i, gm_i, ci_i):
+            from .match_costs import bbox3d_l1_cost
             cost_cls = _binary_focal_cost(cls_i[:, :tm_i.shape[0]], maps_i,
                                           tm_i)
             cost_l1 = bbox3d_l1_cost(boxes_i, gt_i)
-            cost_iou = iou3d_cost(boxes_i, gt_i)
             cost = (self.cost_cls_weight * cost_cls +
                     self.cost_l1_weight * cost_l1 +
-                    self.cost_iou_weight * cost_iou)
+                    self.cost_iou_weight * ci_i)
             cost = jnp.where(qm_i[:, None], cost, 1e6)
             if self.matcher == 'auction':
                 return auction_match(cost, gm_i)
@@ -371,7 +374,7 @@ class SparseFusionGrounder(nn.Module):
         matched = jax.vmap(assign)(jax.lax.stop_gradient(cls),
                                    jax.lax.stop_gradient(boxes), query_mask,
                                    text_mask, pos_maps, gt_boxes,
-                                   gt_mask)  # (B, Q)
+                                   gt_mask, cost_iou)  # (B, Q)
         pos = matched >= 0
         safe = jnp.clip(matched, 0)
         labels = jnp.where(
@@ -431,11 +434,29 @@ class SparseFusionGrounder(nn.Module):
         # layers in python, grounding_head.py:640-652)
         pos_maps = batch['positive_maps']
         gt_boxes, gt_mask = batch['gt_boxes'], batch['gt_mask']
+        # IoU match cost for ALL layers/samples in one flat SAT-pruned call
+        # (geometry/iou.py:paired_iou_pruned): flat sorts never run under
+        # the layer/batch vmaps, and the exact clip kernel only touches the
+        # pair subset that can overlap at all (traced ~74 -> ~10 ms/step at
+        # the bench scale). Matching is no-grad, so the pruning sorts never
+        # see the autodiff path.
+        from ..geometry.iou import paired_iou_pruned
+        lq, bq, q = outs.boxes.shape[:3]
+        g = gt_boxes.shape[1]
+        pairs = lq * bq * q * g
+        cap = self.iou_cost_capacity or max(2048, pairs // 8)
+        pb_flat = jnp.broadcast_to(
+            jax.lax.stop_gradient(outs.boxes)[:, :, :, None, :],
+            (lq, bq, q, g, 9)).reshape(-1, 9)
+        gt_flat = jnp.broadcast_to(
+            gt_boxes[None, :, None, :, :], (lq, bq, q, g, 9)).reshape(-1, 9)
+        cost_iou = -paired_iou_pruned(pb_flat, gt_flat,
+                                      min(cap, pairs)).reshape(lq, bq, q, g)
         cls_ls, bbox_ls, _ = jax.vmap(
             self.loss_single_layer,
-            in_axes=(0, 0, None, None, None, None, None))(
+            in_axes=(0, 0, None, None, None, None, None, 0))(
                 outs.cls, outs.boxes, outs.query_mask, text_mask, pos_maps,
-                gt_boxes, gt_mask)
+                gt_boxes, gt_mask, cost_iou)
         losses = {}
         for li in range(self.num_decoder_layers):
             if li == self.num_decoder_layers - 1:

@@ -289,6 +289,30 @@ class TestIoU:
         assert np.asarray(vol)[0, 0] <= 1e-5    # degenerate -> ~0
         assert np.asarray(iou)[1, 1] <= 5e-3    # face-touching -> ~0
 
+    def test_paired_iou_pruned_matches_dense(self):
+        """SAT-pruned paired IoU == dense kernel when capacity covers every
+        positive-bound pair; dropped pairs are exactly the zero-IoU ones."""
+        rng = np.random.RandomState(7)
+        p = 257  # odd size: exercises the pad/inverse-permutation path
+        mk = lambda lo, hi: np.concatenate([
+            rng.uniform(lo, hi, (p, 3)), rng.uniform(0.2, 1.5, (p, 3)),
+            rng.uniform(-np.pi, np.pi, (p, 3))
+        ], -1).astype(np.float32)
+        a, b = jnp.asarray(mk(-4, 4)), jnp.asarray(mk(-4, 4))
+        _, dense = IOU.boxes3d_overlap_paired(a, b)
+        dense = np.asarray(dense)
+        n_pos = int((np.asarray(IOU._axis_overlap_bound(a, b)) > 0).sum())
+        assert 0 < n_pos < p  # fixture exercises both branches
+        for cap in (n_pos, p - 1, p + 5):
+            got = np.asarray(IOU.paired_iou_pruned(a, b, cap))
+            np.testing.assert_allclose(got, dense, rtol=1e-4, atol=1e-5)
+        # under-capacity: survivors exact, dropped pairs are the
+        # smallest-bound ones and read exactly 0
+        small = np.asarray(IOU.paired_iou_pruned(a, b, max(n_pos // 2, 1)))
+        exact_rows = small > 0
+        np.testing.assert_allclose(small[exact_rows], dense[exact_rows],
+                                   rtol=1e-4, atol=1e-5)
+
     def test_axis_aligned_iou3d_helper(self):
         b1 = jnp.asarray([[0.0, 0, 0, 2, 2, 2]])
         b2 = jnp.asarray([[1.0, 1, 1, 3, 3, 3]])

@@ -87,9 +87,12 @@ class TestLossNormalizer:
         maps = jnp.zeros((b, g, t_valid)).at[0, 0, 0].set(1.0)
         gmask = jnp.ones((b, g), bool)
 
+        from embodiedscan_tpu.geometry.iou import boxes3d_iou
+        cost_iou = -jax.vmap(boxes3d_iou)(boxes, gt)  # (B, Q, G)
+
         def run(mdl):
             return mdl.loss_single_layer(cls, boxes, qmask, tmask, maps, gt,
-                                         gmask)
+                                         gmask, cost_iou)
 
         cls_l, bbox_l, num_pos = nn.apply(run, model)({'params': {}})
         assert float(num_pos) == 1.0
