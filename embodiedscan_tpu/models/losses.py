@@ -62,7 +62,9 @@ def bbox_to_corners(bbox: jax.Array) -> jax.Array:
     rot = euler_zxy_to_matrix(bbox[:, 6:9])
     half = bbox[:, None, 3:6] / 2
     local = jnp.asarray(_CD_CORNERS) * half
-    rotated = jnp.einsum('nkj,nij->nki', local, rot)  # local @ rot^T
+    # local @ rot^T, spelled as broadcast-mul-sum: an (N, 8, 3)x(N, 3, 3)
+    # batched dot_general scalarizes on TPU (traced 23 GB/s in the loss)
+    rotated = jnp.sum(local[:, :, None, :] * rot[:, None, :, :], axis=-1)
     return bbox[:, None, :3] + rotated
 
 

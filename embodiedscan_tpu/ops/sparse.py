@@ -326,24 +326,34 @@ def _subm_fwd(feats, mask, nbr, weights):
 def _subm_bwd(res, dout):
     feats, mask, nbr, weights = res
     k = weights.shape[0]
-    # d/dfeats: sum_k dout[nbr[:, k']] @ W[K-1-k'].T  (gather, no scatter)
-    w_t = jnp.transpose(weights[::-1], (0, 2, 1))
-    dfeats = gather_matmul_conv(dout, mask, nbr, w_t)
-    dfeats = jnp.where(mask[:, None], dfeats, 0).astype(feats.dtype)
-    # d/dW[k]: gathered_k^T @ dout (recompute the gathers; no residuals)
     n, cin = feats.shape
-    safe = jnp.where(mask[:, None], feats, 0)
+    cout = weights.shape[-1]
+    # ONE gather of dout per offset serves BOTH cotangents: the subm mirror
+    # identity (nbr[i,k] = m  <=>  nbr[m, K-1-k] = i) turns the weight
+    # gradient into dW[K-1-j] = feats^T @ dout[nbr[:, j]] — the same
+    # gathered arrays the dfeats term needs. 27 gathers per conv backward
+    # instead of 54; gathers are the row-count-bound cost of the engine.
+    safe_feats = jnp.where(mask[:, None], feats, 0)
+    safe_dout = jnp.where(mask[:, None], dout, 0)
+    w = weights
     if CONV_COMPUTE_DTYPE is not None:
-        safe = safe.astype(CONV_COMPUTE_DTYPE)
-    padded = jnp.concatenate([safe, jnp.zeros((1, cin), safe.dtype)])
+        safe_feats = safe_feats.astype(CONV_COMPUTE_DTYPE)
+        safe_dout = safe_dout.astype(CONV_COMPUTE_DTYPE)
+        w = w.astype(CONV_COMPUTE_DTYPE)
+    padded = jnp.concatenate(
+        [safe_dout, jnp.zeros((1, cout), safe_dout.dtype)])
     idx = jnp.where(nbr >= 0, nbr, n)
-    douts = dout.astype(padded.dtype)
-    dw = jnp.stack([
-        jax.lax.dot_general(padded[idx[:, j]], douts,
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-        for j in range(k)
-    ]).astype(weights.dtype)
+    dfeats = jnp.zeros((n, cin), jnp.float32)
+    dws = [None] * k
+    for j in range(k):
+        g = padded[idx[:, j]]  # dout[nbr[:, j]], absent -> zero row
+        dfeats = dfeats + jnp.dot(g, w[k - 1 - j].T,
+                                  preferred_element_type=jnp.float32)
+        dws[k - 1 - j] = jax.lax.dot_general(
+            safe_feats, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    dfeats = jnp.where(mask[:, None], dfeats, 0).astype(feats.dtype)
+    dw = jnp.stack(dws).astype(weights.dtype)
     return dfeats, None, None, dw
 
 
@@ -376,24 +386,33 @@ def _strided_bwd(res, dout):
     feats, mask, nbr, t_nbr, weights = res
     k = weights.shape[0]
     m = dout.shape[0]
-    w_t = jnp.transpose(weights, (0, 2, 1))
-    # dout is indexed by coarse rows; gather it via the transpose table
-    dmask = jnp.ones((m,), bool)
-    dfeats = gather_matmul_conv(dout, dmask, t_nbr, w_t)
-    dfeats = jnp.where(mask[:, None], dfeats, 0).astype(feats.dtype)
     n, cin = feats.shape
-    safe = jnp.where(mask[:, None], feats, 0)
+    cout = weights.shape[-1]
+    # Same single-gather fusion as _subm_bwd, via the transpose table:
+    # t_nbr[j, k] = m <=> nbr[m, k] = j, so
+    #   dW[k] = feats^T @ dout[t_nbr[:, k]]
+    # reuses the per-offset dout gathers of the dfeats term (K gathers per
+    # backward instead of 2K).
+    safe_feats = jnp.where(mask[:, None], feats, 0)
+    w = weights
+    dout_c = dout
     if CONV_COMPUTE_DTYPE is not None:
-        safe = safe.astype(CONV_COMPUTE_DTYPE)
-    padded = jnp.concatenate([safe, jnp.zeros((1, cin), safe.dtype)])
-    idx = jnp.where(nbr >= 0, nbr, n)
-    douts = dout.astype(padded.dtype)
-    dw = jnp.stack([
-        jax.lax.dot_general(padded[idx[:, j]], douts,
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-        for j in range(k)
-    ]).astype(weights.dtype)
+        safe_feats = safe_feats.astype(CONV_COMPUTE_DTYPE)
+        dout_c = dout_c.astype(CONV_COMPUTE_DTYPE)
+        w = w.astype(CONV_COMPUTE_DTYPE)
+    padded = jnp.concatenate([dout_c, jnp.zeros((1, cout), dout_c.dtype)])
+    t_idx = jnp.where(t_nbr >= 0, t_nbr, m)
+    dfeats = jnp.zeros((n, cin), jnp.float32)
+    dws = [None] * k
+    for j in range(k):
+        g = padded[t_idx[:, j]]  # dout[t_nbr[:, j]], absent -> zero row
+        dfeats = dfeats + jnp.dot(g, w[j].T,
+                                  preferred_element_type=jnp.float32)
+        dws[j] = jax.lax.dot_general(
+            safe_feats, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    dfeats = jnp.where(mask[:, None], dfeats, 0).astype(feats.dtype)
+    dw = jnp.stack(dws).astype(weights.dtype)
     return dfeats, None, None, None, dw
 
 
