@@ -124,7 +124,11 @@ def stage_tables(st: S.SparseTensor, dmap: S.DownsampleMap,
     table consumed by ``strided_gather_conv``.
     """
     from ..ops.hashing import lookup_merge_multi, lookup_merge_multi_b
+    # the subm stream's center offset is identity (a valid voxel contains
+    # itself): query the other 26 and splice the arange column back in
+    cix = S._center_offset(S.OFFSETS_3)
     offs = jnp.asarray(S.OFFSETS_3)
+    noffs = jnp.asarray(np.delete(S.OFFSETS_3, cix, axis=0))
 
     if S.BMAP_MODE == 'flat':
         b, n = st.coords.shape[:2]
@@ -133,10 +137,11 @@ def stage_tables(st: S.SparseTensor, dmap: S.DownsampleMap,
         sq = (dmap.coords[:, :, None, :] * 2 +
               offs[None, None]).reshape(b, m * ko, 3)
         nq = (dmap.coords[:, :, None, :] +
-              offs[None, None]).reshape(b, m * ko, 3)
+              noffs[None, None]).reshape(b, m * (ko - 1), 3)
         qm = jnp.repeat(dmap.mask, ko, axis=1)
+        nqm = jnp.repeat(dmap.mask, ko - 1, axis=1)
         pairs = [(st.coords, st.mask, sq, qm),
-                 (dmap.coords, dmap.mask, nq, qm)]
+                 (dmap.coords, dmap.mask, nq, nqm)]
         if with_transpose:
             tq = st.coords[:, :, None, :] - offs[None, None]  # (B, N, 27, 3)
             even = jnp.all(tq % 2 == 0, axis=-1).reshape(b, -1)
@@ -145,29 +150,38 @@ def stage_tables(st: S.SparseTensor, dmap: S.DownsampleMap,
                           jnp.floor_divide(tq, 2).reshape(b, -1, 3), tqm))
         res = lookup_merge_multi_b(pairs)
         s_idx = res[0].reshape(b, m, ko)
-        n_idx = res[1].reshape(b, m, ko)
+        n26 = res[1].reshape(b, m, ko - 1)
+        ident = jnp.where(dmap.mask, jnp.arange(m, dtype=jnp.int32)[None],
+                          -1)
+        n_idx = jnp.concatenate(
+            [n26[..., :cix], ident[..., None], n26[..., cix:]], axis=-1)
         t_idx = res[2].reshape(b, n, ko) if with_transpose else None
         return s_idx, n_idx, t_idx
 
     def one(fc, fm, cc, cm):
         m = cc.shape[0]
         n = fc.shape[0]
+        ko = offs.shape[0]
         sq = (cc[:, None, :] * 2 + offs[None]).reshape(-1, 3)
-        nq = (cc[:, None, :] + offs[None]).reshape(-1, 3)
-        qm = jnp.repeat(cm, offs.shape[0])
-        pairs = [(fc, fm, sq, qm), (cc, cm, nq, qm)]
+        nq = (cc[:, None, :] + noffs[None]).reshape(-1, 3)
+        qm = jnp.repeat(cm, ko)
+        nqm = jnp.repeat(cm, ko - 1)
+        pairs = [(fc, fm, sq, qm), (cc, cm, nq, nqm)]
         if with_transpose:
             tq = fc[:, None, :] - offs[None]  # (N, 27, 3)
             even = jnp.all(tq % 2 == 0, axis=-1).reshape(-1)
-            tqm = jnp.repeat(fm, offs.shape[0]) & even
+            tqm = jnp.repeat(fm, ko) & even
             pairs.append((cc, cm, jnp.floor_divide(tq, 2).reshape(-1, 3),
                           tqm))
         res = lookup_merge_multi(pairs)
         s_idx = res[0].reshape(m, -1)
-        n_idx = res[1].reshape(m, -1)
+        n26 = res[1].reshape(m, ko - 1)
+        ident = jnp.where(cm, jnp.arange(m, dtype=jnp.int32), -1)
+        n_idx = jnp.concatenate(
+            [n26[:, :cix], ident[:, None], n26[:, cix:]], axis=1)
         if with_transpose:
             return s_idx, n_idx, res[2].reshape(n, -1)
-        return s_idx, n_idx, jnp.zeros((n, offs.shape[0]), jnp.int32)
+        return s_idx, n_idx, jnp.zeros((n, ko), jnp.int32)
 
     out = S.bmap(one, (0, 0, 0, 0))(st.coords, st.mask, dmap.coords,
                                     dmap.mask)

@@ -150,11 +150,11 @@ def lookup_merge(coords: jax.Array, mask: jax.Array, queries: jax.Array,
     ])
     skey, saux = jax.lax.sort((key, aux), num_keys=2)
     is_table = saux < n
-    int_min = jnp.iinfo(jnp.int32).min
-    lkey = jax.lax.cummax(jnp.where(is_table, skey, int_min))
     # table rows are ascending with key (invariant), so the running max is
-    # the row of the last table entry at-or-before this position
-    lrow = jax.lax.cummax(jnp.where(is_table, saux, -1))
+    # the row of the last table entry at-or-before this position; on TPU
+    # the masked cummax pair runs as one Pallas scan pass (ops/pscan.py)
+    from .pscan import join_scan
+    (lkey, lrow), = join_scan(skey, saux, ((0, n),))
     ok = (~is_table) & (lrow >= 0) & (lkey == skey) & \
         (skey != jnp.iinfo(jnp.int32).max)
     res = jnp.where(ok, lrow, -1)
@@ -210,10 +210,10 @@ def lookup_merge_multi(pairs) -> list:
     is_table = saux < n_tables
     bounds = tstarts[1:] + [n_tables]
     res = jnp.full((pos,), -1, jnp.int32)
+    from .pscan import join_scan
+    scans = join_scan(skey, saux, tuple(zip(tstarts, bounds)))
     for i in range(len(pairs)):
-        sel = is_table & (saux >= tstarts[i]) & (saux < bounds[i])
-        lkey_i = jax.lax.cummax(jnp.where(sel, skey, int_min))
-        lrow_i = jax.lax.cummax(jnp.where(sel, saux, -1))
+        lkey_i, lrow_i = scans[i]
         ok = (lrow_i >= 0) & (lkey_i == skey) & (skey != int_max)
         q_hi = pos if i == len(pairs) - 1 else qstarts[i + 1]
         mine = (~is_table) & (saux >= qstarts[i]) & (saux < q_hi)
@@ -290,10 +290,15 @@ def pack_key32_b(coords: jax.Array, valid: jax.Array,
     return ((coord_key | bid) ^ jnp.uint32(0x80000000)).astype(jnp.int32)
 
 
+def _sentinel_bits(n_batch: int) -> int:
+    """Low coord-bit mask whose all-ones pattern marks a sentinel key."""
+    bx, by, bz = key_layout(n_batch)
+    return (1 << (bx + by + bz)) - 1
+
+
 def _coord_sentinel_mask(key: jax.Array, n_batch: int) -> jax.Array:
     """True where a batched key is a (batch-local) sentinel."""
-    bx, by, bz = key_layout(n_batch)
-    mask = jnp.uint32((1 << (bx + by + bz)) - 1)
+    mask = jnp.uint32(_sentinel_bits(n_batch))
     u = key.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
     return (u & mask) == mask
 
@@ -319,9 +324,9 @@ def lookup_merge_b(coords: jax.Array, mask: jax.Array, queries: jax.Array,
     is_table = saux < b * n
     # exclude sentinel table rows from the join (invalid queries could
     # otherwise "match" an invalid padding row of the same sample)
-    t_ok = is_table & ~_coord_sentinel_mask(skey, b)
-    lkey = jax.lax.cummax(jnp.where(t_ok, skey, int_min))
-    lrow = jax.lax.cummax(jnp.where(t_ok, saux, -1))
+    from .pscan import join_scan
+    (lkey, lrow), = join_scan(skey, saux, ((0, b * n),),
+                              sentinel_bits=_sentinel_bits(b))
     ok = (~is_table) & (lrow >= 0) & (lkey == skey) & \
         ~_coord_sentinel_mask(skey, b)
     res = jnp.where(ok, lrow % n, -1)  # row within the sample's table
@@ -363,10 +368,11 @@ def lookup_merge_multi_b(pairs) -> list:
     not_sent = ~_coord_sentinel_mask(skey, b)
     bounds = tstarts[1:] + [n_tables]
     res = jnp.full((pos,), -1, jnp.int32)
+    from .pscan import join_scan
+    scans = join_scan(skey, saux, tuple(zip(tstarts, bounds)),
+                      sentinel_bits=_sentinel_bits(b))
     for i in range(len(pairs)):
-        sel = is_table & (saux >= tstarts[i]) & (saux < bounds[i]) & not_sent
-        lkey_i = jax.lax.cummax(jnp.where(sel, skey, int_min))
-        lrow_i = jax.lax.cummax(jnp.where(sel, saux, -1))
+        lkey_i, lrow_i = scans[i]
         ok = (lrow_i >= 0) & (lkey_i == skey) & not_sent
         q_hi = pos if i == len(pairs) - 1 else qstarts[i + 1]
         mine = (~is_table) & (saux >= qstarts[i]) & (saux < q_hi)

@@ -159,16 +159,34 @@ def from_points_b(points_xyz: jax.Array, feats: jax.Array, mask: jax.Array,
     return SparseTensor(uniq.coords, out_feats, uniq.mask)
 
 
+def _center_offset(offsets: np.ndarray):
+    """Index of the (0,0,0) offset, or None; its table column is identity."""
+    center = np.where((np.asarray(offsets) == 0).all(1))[0]
+    return int(center[0]) if len(center) == 1 and offsets.shape[0] > 1 \
+        else None
+
+
 def neighbor_table_b(st: SparseTensor, offsets: np.ndarray) -> jax.Array:
     """Batched :func:`neighbor_table`: (B, N, K) via one flat join sort."""
     from .hashing import lookup_merge_b
     b, n = st.coords.shape[:2]
+    offsets = np.asarray(offsets)
+    c = _center_offset(offsets)
+    if c is not None:
+        # a valid voxel always contains itself: skip the center queries
+        # (1/27 of the join + un-permute sort rows)
+        offsets = np.delete(offsets, c, axis=0)
     k = offsets.shape[0]
     queries = (st.coords[:, :, None, :] +
                jnp.asarray(offsets)[None, None]).reshape(b, n * k, 3)
     qmask = jnp.repeat(st.mask, k, axis=1)
-    return lookup_merge_b(st.coords, st.mask, queries,
-                          qmask).reshape(b, n, k)
+    idx = lookup_merge_b(st.coords, st.mask, queries,
+                         qmask).reshape(b, n, k)
+    if c is not None:
+        ident = jnp.where(st.mask, jnp.arange(n, dtype=jnp.int32)[None], -1)
+        idx = jnp.concatenate([idx[..., :c], ident[..., None], idx[..., c:]],
+                              axis=-1)
+    return idx
 
 
 def downsample_coords_b(st: SparseTensor, capacity: int) -> 'DownsampleMap':
@@ -253,12 +271,22 @@ def neighbor_table(st: SparseTensor, offsets: np.ndarray) -> jax.Array:
     fixed cost on TPU, so a single 28N-element sort beats 27 searchsorted
     streams by ~20x (see lookup_merge).
     """
+    offsets = np.asarray(offsets)
+    c = _center_offset(offsets)
+    if c is not None:  # identity column: a valid voxel contains itself
+        offsets = np.delete(offsets, c, axis=0)
     k = offsets.shape[0]
     queries = (st.coords[:, None, :] + jnp.asarray(offsets)[None, :, :])
     flat = queries.reshape(-1, 3)
     qmask = jnp.repeat(st.mask, k)
-    idx = lookup_merge(st.coords, st.mask, flat, qmask)
-    return idx.reshape(st.capacity, k)
+    idx = lookup_merge(st.coords, st.mask, flat, qmask).reshape(
+        st.capacity, k)
+    if c is not None:
+        ident = jnp.where(st.mask,
+                          jnp.arange(st.capacity, dtype=jnp.int32), -1)
+        idx = jnp.concatenate([idx[:, :c], ident[:, None], idx[:, c:]],
+                              axis=1)
+    return idx
 
 
 def gather_matmul_conv(feats: jax.Array, mask: jax.Array, nbr: jax.Array,
