@@ -167,7 +167,10 @@ def point_image_sample_batched(points: jax.Array, point_mask: jax.Array,
     def gather(yi, xi):
         yi = jnp.clip(yi, 0, hf - 1)
         xi = jnp.clip(xi, 0, wf - 1)
-        idx = (vbase + yi * wf + xi).reshape(-1)  # (BI*S*V*N,)
+        # out-of-frustum pairs read row 0: their output is zeroed below
+        # (and their cotangent is zero), but a constant index keeps the
+        # wasted HBM reads page-local instead of scattered
+        idx = jnp.where(valid, vbase + yi * wf + xi, 0).reshape(-1)
         rows = idx.shape[0]
         if rows <= _CHUNK:
             out = gather_rows(flat, idx)
