@@ -136,6 +136,15 @@ def run_task(task: str):
     cfg.data.synthetic = True
     cfg.data.batch_size = int(os.environ.get('BENCH_B', '1'))
     cfg.data.prefetch_depth = 0
+    n_sweeps = 0
+    if task == 'cont_occ':
+        # 10 reference sweeps need ~16.5 GB (0.78 GB/sweep of rematted-bf16
+        # U-Net temps + 8.4 GB of AdamW state for the ~700M-param neck) —
+        # the reference trained this config on 80 GB A100s. 7 sweeps is the
+        # largest pseudo-batch one 15.75 GB v5e chip fits (8 misses by 133
+        # MB); the metric is normalized to reference 10-sweep scans below.
+        n_sweeps = int(os.environ.get('BENCH_CONT_SWEEPS', '7'))
+        cfg.data.n_views_train = n_sweeps
     if task == 'mv_grounding':
         cfg.model.text_arch = 'tiny'  # offline image: no HF weights; the
         # tiny arch keeps the text trunk (embed+attn) without the download
@@ -168,7 +177,12 @@ def run_task(task: str):
     compiled = step.lower(state, batch).compile()
     scenes_per_sec, loss, _ = _time_compiled_step(
         compiled, state, batch, cfg.data.batch_size)
-    return scenes_per_sec, loss, cfg.data.batch_size
+    note = ''
+    if task == 'cont_occ' and n_sweeps != 10:
+        # normalize to reference 10-sweep scans
+        scenes_per_sec *= n_sweeps / 10.0
+        note = f', {n_sweeps}-sweep steps normalized to 10-sweep scans'
+    return scenes_per_sec, loss, cfg.data.batch_size, note
 
 
 def run(scale: str):
@@ -277,11 +291,11 @@ def run(scale: str):
 def main():
     task = os.environ.get('BENCH_TASK', '')
     if task:
-        scenes_per_sec, _, b = run_task(task)
+        scenes_per_sec, _, b, note = run_task(task)
         denom = TASK_BASELINE_SCENES_PER_SEC.get(task,
                                                  BASELINE_SCENES_PER_SEC)
         print(json.dumps({
-            'metric': f'{task} train scenes/sec/chip (b={b})',
+            'metric': f'{task} train scenes/sec/chip (b={b}{note})',
             'value': round(scenes_per_sec, 4),
             'unit': 'scenes/sec',
             'vs_baseline': round(scenes_per_sec / denom, 3),

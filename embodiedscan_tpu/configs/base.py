@@ -129,6 +129,8 @@ class ModelConfig:
     point_cloud_range: Sequence[float] = (-3.2, -3.2, -0.78, 3.2, 3.2, 1.78)
     occ_fpn_channels: int = 256
     occ_pre_neck_channels: int = 0
+    # bf16 3D U-Net compute (activation memory; cont_occ needs it to fit)
+    occ_neck_bf16: bool = False
     resnet_base_channels: int = 64
 
 
@@ -215,6 +217,11 @@ def cont_occ() -> Config:
     """configs/occupancy/cont-occ_8xb1_embodiedscan-occ-80class.py."""
     cfg = mv_occ()
     cfg.model.task = 'cont_occ'
+    # the 10-sweep pseudo-batch multiplies sparse-branch activations by 10;
+    # remat the 3D stages so one scan fits a 16 GB chip (the 2D branch is
+    # per-scan, not per-sweep, and stays un-rematerialized)
+    cfg.model.remat = 'all'
+    cfg.model.occ_neck_bf16 = True
     cfg.work_dir = 'work_dirs/cont_occ'
     return cfg
 
@@ -286,6 +293,8 @@ def build_model(cfg: Config):
             box_coder=m.box_coder,
             remat=m.remat)
     if m.task in ('mv_occ', 'cont_occ'):
+        import jax.numpy as jnp
+
         from ..models.occupancy import DenseFusionOccPredictor
         return DenseFusionOccPredictor(
             num_classes=m.occ_classes,
@@ -297,5 +306,7 @@ def build_model(cfg: Config):
             resnet_base_channels=m.resnet_base_channels,
             mink_depth=m.mink_depth,
             fpn_channels=m.occ_fpn_channels,
-            pre_neck_channels=m.occ_pre_neck_channels)
+            pre_neck_channels=m.occ_pre_neck_channels,
+            neck_dtype=jnp.bfloat16 if m.occ_neck_bf16 else jnp.float32,
+            remat=m.remat if m.task == 'cont_occ' else 'none')
     raise ValueError(m.task)

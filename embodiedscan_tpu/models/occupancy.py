@@ -34,20 +34,25 @@ class ResBlock3D(nn.Module):
 
     features: int
     stride: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
         out = nn.Conv(self.features, (3, 3, 3), strides=self.stride,
-                      padding=1, use_bias=False)(x)
-        out = nn.BatchNorm(use_running_average=not train)(out)
+                      padding=1, use_bias=False, dtype=self.dtype)(x)
+        out = nn.BatchNorm(use_running_average=not train,
+                           dtype=self.dtype)(out)
         out = nn.relu(out)
-        out = nn.Conv(self.features, (3, 3, 3), padding=1, use_bias=False)(out)
-        out = nn.BatchNorm(use_running_average=not train)(out)
+        out = nn.Conv(self.features, (3, 3, 3), padding=1, use_bias=False,
+                      dtype=self.dtype)(out)
+        out = nn.BatchNorm(use_running_average=not train,
+                           dtype=self.dtype)(out)
         if self.stride != 1 or identity.shape[-1] != self.features:
             identity = nn.Conv(self.features, (1, 1, 1), strides=self.stride,
-                               use_bias=False)(x)
-            identity = nn.BatchNorm(use_running_average=not train)(identity)
+                               use_bias=False, dtype=self.dtype)(x)
+            identity = nn.BatchNorm(use_running_average=not train,
+                                    dtype=self.dtype)(identity)
         return nn.relu(out + identity)
 
 
@@ -57,9 +62,13 @@ class ImVoxelNeck(nn.Module):
     in_channels: int
     out_channels: int = 128
     n_blocks: Sequence[int] = (1, 1, 1)
+    # bf16 halves every U-Net activation (params stay f32): the continuous
+    # 10-sweep pseudo-batch needs it to fit one 16 GB chip
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        x = x.astype(self.dtype)
         n_scales = len(self.n_blocks)
         n_channels = self.in_channels
         down_outs = []
@@ -68,11 +77,11 @@ class ImVoxelNeck(nn.Module):
             for j in range(blocks):
                 if j == 0 and stride != 1:
                     n_channels *= 2
-                    x = ResBlock3D(n_channels, stride,
+                    x = ResBlock3D(n_channels, stride, dtype=self.dtype,
                                    name=f'down_{i}_{j}')(x, train)
                 else:
-                    x = ResBlock3D(n_channels, 1, name=f'down_{i}_{j}')(x,
-                                                                        train)
+                    x = ResBlock3D(n_channels, 1, dtype=self.dtype,
+                                   name=f'down_{i}_{j}')(x, train)
             down_outs.append(x)
 
         outs = []
@@ -81,18 +90,23 @@ class ImVoxelNeck(nn.Module):
                 # transposed conv k2 s2 + BN + ReLU + conv3 + BN + ReLU
                 c = down_outs[i].shape[-1]
                 x = nn.ConvTranspose(c, (2, 2, 2), strides=(2, 2, 2),
-                                     use_bias=False, name=f'up_{i + 1}_t')(x)
-                x = nn.BatchNorm(use_running_average=not train)(x)
+                                     use_bias=False, dtype=self.dtype,
+                                     name=f'up_{i + 1}_t')(x)
+                x = nn.BatchNorm(use_running_average=not train,
+                                 dtype=self.dtype)(x)
                 x = nn.relu(x)
                 x = nn.Conv(c, (3, 3, 3), padding=1, use_bias=False,
-                            name=f'up_{i + 1}_c')(x)
-                x = nn.BatchNorm(use_running_average=not train)(x)
+                            dtype=self.dtype, name=f'up_{i + 1}_c')(x)
+                x = nn.BatchNorm(use_running_average=not train,
+                                 dtype=self.dtype)(x)
                 x = nn.relu(x)
                 x = down_outs[i] + x
             out = nn.Conv(self.out_channels, (3, 3, 3), padding=1,
-                          use_bias=False, name=f'out_{i}_c')(x)
-            out = nn.BatchNorm(use_running_average=not train)(out)
-            outs.append(nn.relu(out))
+                          use_bias=False, dtype=self.dtype,
+                          name=f'out_{i}_c')(x)
+            out = nn.BatchNorm(use_running_average=not train,
+                               dtype=self.dtype)(out)
+            outs.append(nn.relu(out).astype(jnp.float32))
         return outs[::-1]
 
 
@@ -235,11 +249,22 @@ class DenseFusionOccPredictor(nn.Module):
     resnet_base_channels: int = 64
     mink_depth: int = 34
     neck3d_channels: int = 128
+    # U-Net compute dtype: bf16 halves the (sweeps, 40, 40, 16, 768..3072)
+    # activation volumes (params stay f32)
+    neck_dtype: jnp.dtype = jnp.float32
     fpn_channels: int = 256
     # optional 1x1 projection before the U-Net (0 = off). The reference
     # U-Net doubles from 768 channels (~700M params); this knob enables
     # smaller smoke/test variants without touching the U-Net topology.
     pre_neck_channels: int = 0
+    # rematerialization ('none'|'2d'|'3d'|'all'): the continuous task's
+    # 10-sweep pseudo-batch multiplies every sparse-branch activation by
+    # the sweep count (10 x 65536-row stages OOM a 16 GB chip without it)
+    remat: bool | str = False
+
+    def _remat(self, which: str) -> bool:
+        mode = {True: 'all', False: 'none'}.get(self.remat, self.remat)
+        return mode in ('all', which)
 
     @property
     def voxel_size(self):
@@ -276,7 +301,8 @@ class DenseFusionOccPredictor(nn.Module):
         assert b % bi == 0, (b, bi)
         s = b // bi
         feats2d = ResNet(depth=self.resnet_depth,
-                         base_channels=self.resnet_base_channels)(
+                         base_channels=self.resnet_base_channels,
+                         remat=self._remat('2d'))(
                              imgs.reshape(bi * v, h, w, 3))
         f = FPN(out_channels=self.fpn_channels)(feats2d)[0]  # finest, stride 4
         hf, wf, c2 = f.shape[1:]
@@ -305,8 +331,8 @@ class DenseFusionOccPredictor(nn.Module):
             shifted, pts, batch['points_mask'], self.voxel_size,
             self.input_capacity)
         levels = MinkResNet(depth=self.mink_depth,
-                            capacities=tuple(self.backbone_capacities))(
-                                st, train=train)
+                            capacities=tuple(self.backbone_capacities),
+                            remat=self._remat('3d'))(st, train=train)
         top = levels[-1]  # stride 64 -> lattice == prior grid
         point_volume = jax.vmap(S.to_dense, in_axes=(0, None, None))(
             top, jnp.zeros((3,), jnp.int32), tuple(self.n_voxels))
@@ -314,7 +340,12 @@ class DenseFusionOccPredictor(nn.Module):
         x = jnp.concatenate([img_volume, point_volume], axis=-1)
         if self.pre_neck_channels:
             x = nn.Dense(self.pre_neck_channels, name='pre_neck')(x)
-        feats = ImVoxelNeck(x.shape[-1], self.neck3d_channels)(x, train=train)
+        # the U-Net is 3D and sweep-scaled like the sparse stages
+        neck_cls = nn.remat(ImVoxelNeck, static_argnums=(2,)) \
+            if self._remat('3d') else ImVoxelNeck
+        feats = neck_cls(x.shape[-1], self.neck3d_channels,
+                         dtype=self.neck_dtype,
+                         name='ImVoxelNeck_0')(x, train)
         head = OccHead(self.num_classes)
         preds = head(feats)
         if mode == 'feats':
